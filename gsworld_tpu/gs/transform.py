@@ -1,0 +1,116 @@
+"""Batched rigid/scaled transforms of Gaussians — the repose math.
+
+Replicates the reference semantics exactly (gsworld/utils/gs_utils.py:283-385,
+``transform_gaussians`` with order scale -> rotate -> translate):
+
+  * positions:    x' = R @ (s * x) + t
+  * log-scales:   s' = inverse_sigmoid(exp(s_log) * s)   when scaling applied
+                  (the reference's quirk at gs_utils.py:310 — logit, not log —
+                  kept for bit-parity with reference renders), else unchanged
+  * orientations: q' = quat_multiply(q_R, q/|q|) * |q|   (gs_utils.py:225-231)
+  * opacities:    unchanged (the closed loop never rewrites opacity:
+                  gs_world_wrapper.py:123-131, 153-160 pass new_opacity=None)
+
+The TPU-native entry point is :func:`repose_scene`: instead of boolean masks +
+deep copies per env (gs_world_wrapper.py:242-265), each Gaussian gathers its
+slot transform from a per-env stack — one fused gather + elementwise program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from gsworld_tpu.core.maths import (
+    _einsum,
+    inverse_sigmoid,
+    matrix_to_quat,
+    quat_compose_preserving_norm,
+)
+from gsworld_tpu.gs.model import GaussianScene
+
+
+class SlotTransforms(NamedTuple):
+    """Per-env, per-slot rigid+scale transform stack.
+
+    R: (..., S, 3, 3) rotation; t: (..., S, 3); scale: (..., S) uniform.
+    ``apply_scale`` is a static (S,) bool: True for object slots whose repose
+    path runs the reference's scale rule, False for link/background slots.
+    """
+
+    R: jnp.ndarray
+    t: jnp.ndarray
+    scale: jnp.ndarray
+    apply_scale: jnp.ndarray  # (S,) bool
+
+
+class PosedGaussians(NamedTuple):
+    """World-space Gaussian parameters for rendering; leading env axes
+    broadcast from the transform stack."""
+
+    means: jnp.ndarray            # (..., N, 3)
+    log_scales: jnp.ndarray       # (..., N, 3)
+    quats: jnp.ndarray            # (..., N, 4)
+    logit_opacities: jnp.ndarray  # (..., N)
+
+
+def transform_gaussians(means, log_scales, quats, logit_opacities,
+                        R=None, t=None, scale=None):
+    """Direct port of the reference math for a single set of Gaussians.
+
+    Args broadcast over leading axes; ``scale=None`` skips the scale path
+    entirely (link repose), matching gs_utils.py:307-318.
+    """
+    if scale is not None:
+        s = jnp.asarray(scale)[..., None, None]
+        means = means * s
+        log_scales = inverse_sigmoid(jnp.exp(log_scales) * s)
+    if R is not None:
+        means = _einsum("...ij,...nj->...ni", R, means)
+        q_r = matrix_to_quat(R)
+        quats = quat_compose_preserving_norm(q_r[..., None, :], quats)
+    if t is not None:
+        means = means + jnp.asarray(t)[..., None, :]
+    return means, log_scales, quats, logit_opacities
+
+
+def repose_scene(scene: GaussianScene, slots: SlotTransforms) -> PosedGaussians:
+    """Repose all Gaussians by gathering their slot transform.
+
+    Fully batched: for stack shapes (B, S, ...) the output has a leading
+    (B,) env axis. Slot 0 must hold the identity transform.
+    """
+    sid = scene.slot_ids                      # (N,)
+    R = slots.R[..., sid, :, :]               # (..., N, 3, 3)
+    t = slots.t[..., sid, :]                  # (..., N, 3)
+    s = slots.scale[..., sid]                 # (..., N)
+    scaled = slots.apply_scale[sid]           # (N,) bool
+
+    # scale path (objects): x *= s ; log-scale via the reference logit rule
+    eff_s = jnp.where(scaled, s, jnp.ones_like(s))
+    means = scene.means * eff_s[..., None]
+    log_scales = jnp.where(
+        scaled[..., None],
+        inverse_sigmoid(jnp.exp(scene.log_scales) * s[..., None]),
+        jnp.broadcast_to(scene.log_scales, s.shape + (3,)),
+    )
+
+    # rotate + translate
+    means = _einsum("...nij,...nj->...ni", R, means) + t
+    q_r = matrix_to_quat(R)
+    quats = quat_compose_preserving_norm(q_r, scene.quats)
+
+    opac = jnp.broadcast_to(scene.logit_opacities, s.shape)
+    return PosedGaussians(means=means, log_scales=log_scales,
+                          quats=quats, logit_opacities=opac)
+
+
+def identity_slots(num_slots: int, apply_scale, batch_shape=()) -> SlotTransforms:
+    """Identity transform stack (useful as the reset/static default)."""
+    shape = tuple(batch_shape) + (num_slots,)
+    R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), shape + (3, 3))
+    t = jnp.zeros(shape + (3,), jnp.float32)
+    s = jnp.ones(shape, jnp.float32)
+    return SlotTransforms(R=R, t=t, scale=s,
+                          apply_scale=jnp.asarray(apply_scale, bool))
