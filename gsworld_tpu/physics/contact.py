@@ -1,0 +1,111 @@
+"""Contact generation between convex support-point colliders.
+
+TPU-first collision scheme (SURVEY.md §2.3 row 5): every collider is a
+static-size set of convex support points plus its convex-hull face planes.
+Contact generation is fully dense/static-shaped:
+
+  * points vs. plane      — exact for convex shapes;
+  * points vs. hull faces — vertex-in-convex query: a point of A contributes
+    a contact if it lies behind every face of B; the contact normal is the
+    face of least penetration (the separating face), run in both directions
+    for each pair.
+
+Every candidate contact always exists as an array row; an ``active`` mask
+selects the penetrating ones.  This trades FLOPs for compile-friendliness —
+no dynamic shapes, no broadphase branches — and the pair lists are tiny
+(tabletop scenes: a few actors, a few gripper links).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gsworld_tpu.core.maths import _einsum, quat_rotate, quat_to_matrix
+
+
+def hull_faces(points: np.ndarray, max_faces: int = 64) -> np.ndarray:
+    """Host-side: convex hull face planes (F, 4) as (nx, ny, nz, d) with
+    n.x + d <= 0 inside; padded/truncated to max_faces (pad = far plane)."""
+    from scipy.spatial import ConvexHull
+    pts = np.asarray(points, np.float64)
+    try:
+        hull = ConvexHull(pts)
+        eq = hull.equations  # (F, 4), n.x + d <= 0 inside
+        # dedup near-identical faces
+        eq = np.unique(eq.round(5), axis=0)
+    except Exception:
+        # degenerate (flat/small) collider: fall back to AABB faces
+        lo, hi = pts.min(0), pts.max(0)
+        eq = []
+        for ax in range(3):
+            n = np.zeros(3); n[ax] = 1.0
+            eq.append(np.concatenate([n, [-hi[ax]]]))
+            eq.append(np.concatenate([-n, [lo[ax]]]))
+        eq = np.asarray(eq)
+    if eq.shape[0] > max_faces:
+        # keep the largest-offset spread; simple subsample is fine for pads
+        idx = np.linspace(0, eq.shape[0] - 1, max_faces).astype(int)
+        eq = eq[idx]
+    pad = np.zeros((max_faces - eq.shape[0], 4))
+    pad[:, 2] = 1.0
+    pad[:, 3] = -1e9  # "far plane": never the separating face, never inside-
+    return np.concatenate([eq, pad]).astype(np.float32)
+
+
+class ContactSet(NamedTuple):
+    """Fixed-size candidate contact rows (C is static).
+
+    ``body_a``/``body_b`` index a unified body table (see world.py):
+    robot links first, then actors; -1 = static environment.
+    Normal points from B toward A (the direction A must move to separate).
+    """
+
+    pos: jnp.ndarray      # (C, 3) world contact point
+    normal: jnp.ndarray   # (C, 3)
+    pen: jnp.ndarray      # (C,) penetration depth (>0 when touching)
+    body_a: jnp.ndarray   # (C,) int32
+    body_b: jnp.ndarray   # (C,) int32
+    friction: jnp.ndarray # (C,)
+    active: jnp.ndarray   # (C,) bool
+
+
+def transform_points(pos, quat, pts):
+    """Body-frame points (K,3) -> world, pose (3,),(4,) broadcastable."""
+    return quat_rotate(quat[..., None, :], pts) + pos[..., None, :]
+
+
+def points_vs_plane(pts_w, plane):
+    """pts_w (K, 3) vs plane (4,) = (n, d) with n.x + d = height above.
+    Returns (pen (K,), normal (K, 3), pos (K, 3))."""
+    n = plane[:3]
+    h = pts_w @ n + plane[3]
+    pen = -h
+    normal = jnp.broadcast_to(n, pts_w.shape)
+    return pen, normal, pts_w
+
+
+def points_vs_hull(pts_w, hull_pose_pos, hull_pose_quat, faces):
+    """Points (K, 3) vs a convex hull with faces (F, 4) in the hull's body
+    frame and world pose (pos, quat).
+
+    Returns (pen (K,), normal_w (K, 3), pos (K, 3)): a point penetrates when
+    it is behind all faces; depth = -max_f signed_dist; normal = the world
+    normal of the least-penetrated (separating) face, pointing out of the
+    hull."""
+    Rh = quat_to_matrix(hull_pose_quat)
+    local = _einsum("ji,kj->ki", Rh, pts_w - hull_pose_pos)  # R^T (p - t)
+    sd = local @ faces[:, :3].T + faces[:, 3]                # (K, F)
+    best = jnp.argmax(sd, axis=1)                            # separating face
+    max_sd = jnp.take_along_axis(sd, best[:, None], axis=1)[:, 0]
+    pen = -max_sd
+    n_local = faces[best, :3]
+    normal_w = _einsum("ij,kj->ki", Rh, n_local)
+    return pen, normal_w, pts_w
+
+
+def concat_contacts(sets) -> ContactSet:
+    return ContactSet(*[jnp.concatenate([getattr(s, f) for s in sets], axis=0)
+                        for f in ContactSet._fields])

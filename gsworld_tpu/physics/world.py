@@ -1,0 +1,423 @@
+"""The physics world: articulation + free rigid actors + contacts, stepped
+as one fused, batched XLA program.
+
+Replaces the PhysX/SAPIEN step the reference calls into per control step
+(SURVEY.md §3.1: controller.set_drive_targets -> physx substeps).  One
+control step = ``sim_freq/control_freq`` substeps via ``lax.scan``; each
+substep:
+
+  1. articulation free dynamics (CRBA/RNEA + implicit PD, dynamics.py)
+  2. actor free velocities (gravity)
+  3. contact generation (contact.py) between static pair lists
+  4. unified velocity-level solve: projected *Jacobi* iterations with
+     under-relaxation over all contact rows at once — chosen over PhysX's
+     sequential Gauss-Seidel because it vectorizes across rows/envs on the
+     VPU with no sequential chain (SURVEY.md §7.3 item 3); Coulomb friction
+     via box clamp, Baumgarte position stabilization
+  5. semi-implicit Euler integration of joints and actor poses
+
+Per-pair contact forces are accumulated and exposed for grasp checks
+(reference: get_pairwise_contact_forces in is_grasping, fr3_umi.py:152-180).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gsworld_tpu.core.maths import _einsum, quat_multiply, quat_normalize
+from gsworld_tpu.physics import contact as C
+from gsworld_tpu.physics import dynamics as D
+from gsworld_tpu.physics.kinematics import ArticulationModel
+
+# ---------------------------------------------------------------------- #
+# Static scene description
+# ---------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass(frozen=True)
+class ActorTable:
+    """Static data for free rigid actors, stacked (A actors, K support
+    points, F hull faces; K/F padded per actor)."""
+
+    names: Tuple[str, ...]
+    mass: np.ndarray       # (A,)
+    inertia: np.ndarray    # (A, 3, 3) body frame about COM (COM = body origin)
+    sup_pts: np.ndarray    # (A, K, 3)
+    faces: np.ndarray      # (A, F, 4)
+    friction: np.ndarray   # (A,)
+
+    @property
+    def num(self) -> int:
+        return len(self.names)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParams:
+    iterations: int = 16
+    relaxation: float = 0.7
+    baumgarte: float = 0.2
+    slop: float = 0.005
+    max_pen_vel: float = 0.5   # cap on Baumgarte push-out velocity
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsScene:
+    model: Optional[ArticulationModel]
+    actors: ActorTable
+    planes: np.ndarray                 # (P, 4) static planes (n, d)
+    link_collision_pts: np.ndarray     # (L, Kl, 3) padded link support pts
+    link_faces: np.ndarray             # (L, F, 4)
+    link_friction: np.ndarray          # (L,)
+    la_pairs: np.ndarray               # (n_la, 2) (link_idx, actor_idx)
+    aa_pairs: np.ndarray               # (n_aa, 2) (actor_i, actor_j)
+    solver: SolverParams = SolverParams()
+    kp: np.ndarray = None              # (dof,) PD gains
+    kd: np.ndarray = None
+    force_limit: np.ndarray = None
+    sim_freq: int = 120
+    control_freq: int = 40
+
+    @property
+    def substeps(self) -> int:
+        return self.sim_freq // self.control_freq
+
+    @property
+    def h(self) -> float:
+        return 1.0 / self.sim_freq
+
+
+@struct.dataclass
+class WorldState:
+    qpos: jnp.ndarray      # (dof,)
+    qvel: jnp.ndarray      # (dof,)
+    root_pos: jnp.ndarray  # (3,)
+    root_quat: jnp.ndarray # (4,)
+    a_pos: jnp.ndarray     # (A, 3)
+    a_quat: jnp.ndarray    # (A, 4)
+    a_lin: jnp.ndarray     # (A, 3)
+    a_ang: jnp.ndarray     # (A, 3)
+    # diagnostics / queries, refreshed each control step
+    la_forces: jnp.ndarray # (n_la, 3) world force of actor on link
+
+
+# ---------------------------------------------------------------------- #
+# Contact generation
+# ---------------------------------------------------------------------- #
+
+
+def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
+    """All candidate contacts (static count). Body ids: links 0..L-1, actors
+    L..L+A-1, -1 static world."""
+    L = scene.model.num_links if scene.model is not None else 0
+    sets: List[C.ContactSet] = []
+
+    a_pts_w = C.transform_points(state.a_pos[:, None, :].squeeze(1),
+                                 state.a_quat, jnp.asarray(scene.actors.sup_pts))
+
+    # actors vs planes
+    for p in range(scene.planes.shape[0]):
+        plane = jnp.asarray(scene.planes[p])
+        for a in range(scene.actors.num):
+            pen, nrm, pos = C.points_vs_plane(a_pts_w[a], plane)
+            k = pen.shape[0]
+            sets.append(C.ContactSet(
+                pos=pos, normal=nrm, pen=pen,
+                body_a=jnp.full((k,), L + a, jnp.int32),
+                body_b=jnp.full((k,), -1, jnp.int32),
+                friction=jnp.full((k,), scene.actors.friction[a]),
+                active=pen > 0))
+
+    # actor vs actor (both directions)
+    for (i, j) in np.asarray(scene.aa_pairs).reshape(-1, 2):
+        i, j = int(i), int(j)
+        mu = 0.5 * (scene.actors.friction[i] + scene.actors.friction[j])
+        for (src, dst) in ((i, j), (j, i)):
+            pen, nrm, pos = C.points_vs_hull(
+                a_pts_w[src], state.a_pos[dst], state.a_quat[dst],
+                jnp.asarray(scene.actors.faces[dst]))
+            k = pen.shape[0]
+            sets.append(C.ContactSet(
+                pos=pos, normal=nrm, pen=pen,
+                body_a=jnp.full((k,), L + src, jnp.int32),
+                body_b=jnp.full((k,), L + dst, jnp.int32),
+                friction=jnp.full((k,), mu),
+                active=pen > 0))
+
+    # robot links vs actors (both directions); remember row spans per pair
+    la_spans = []
+    if scene.model is not None:
+        l_pts_w = C.transform_points(
+            kin.link_pos, kin.link_quat, jnp.asarray(scene.link_collision_pts))
+        for (l, a) in np.asarray(scene.la_pairs).reshape(-1, 2):
+            l, a = int(l), int(a)
+            mu = 0.5 * (scene.link_friction[l] + scene.actors.friction[a])
+            start = sum(s.pen.shape[0] for s in sets)
+            pen, nrm, pos = C.points_vs_hull(
+                l_pts_w[l], state.a_pos[a], state.a_quat[a],
+                jnp.asarray(scene.actors.faces[a]))
+            k = pen.shape[0]
+            sets.append(C.ContactSet(
+                pos=pos, normal=nrm, pen=pen,
+                body_a=jnp.full((k,), l, jnp.int32),
+                body_b=jnp.full((k,), L + a, jnp.int32),
+                friction=jnp.full((k,), mu), active=pen > 0))
+            pen, nrm, pos = C.points_vs_hull(
+                a_pts_w[a], kin.link_pos[l], kin.link_quat[l],
+                jnp.asarray(scene.link_faces[l]))
+            sets.append(C.ContactSet(
+                pos=pos, normal=nrm, pen=pen,
+                body_a=jnp.full((k,), L + a, jnp.int32),
+                body_b=jnp.full((k,), l, jnp.int32),
+                friction=jnp.full((k,), mu), active=pen > 0))
+            la_spans.append((start, start + 2 * k))
+    if not sets:
+        z = jnp.zeros((0,))
+        empty = C.ContactSet(pos=jnp.zeros((0, 3)), normal=jnp.zeros((0, 3)),
+                             pen=z, body_a=jnp.zeros((0,), jnp.int32),
+                             body_b=jnp.zeros((0,), jnp.int32), friction=z,
+                             active=jnp.zeros((0,), bool))
+        return empty, la_spans
+    return C.concat_contacts(sets), la_spans
+
+
+def _tangent_basis(n):
+    """Two unit tangents per normal (C, 3) -> (C, 3), (C, 3)."""
+    ref = jnp.where(jnp.abs(n[..., 2:3]) < 0.9,
+                    jnp.asarray([0.0, 0.0, 1.0]),
+                    jnp.asarray([1.0, 0.0, 0.0]))
+    t1 = jnp.cross(n, ref)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
+                    Minv_eff, qvel_free, a_lin_free, a_ang_free, state,
+                    anc_mask):
+    """Projected-Jacobi contact solve. Returns (qvel, a_lin, a_ang,
+    impulses (C, 3dirs))."""
+    sp = scene.solver
+    h = scene.h
+    L = scene.model.num_links if scene.model is not None else 0
+    A = scene.actors.num
+    nC = contacts.pen.shape[0]
+    if nC == 0:
+        return qvel_free, a_lin_free, a_ang_free, jnp.zeros((0, 3))
+
+    n = contacts.normal
+    t1, t2 = _tangent_basis(n)
+    dirs = jnp.stack([n, t1, t2], axis=1)                 # (C, 3, 3)
+
+    # ---- robot jacobian rows: J[c, d, dof] ----
+    if scene.model is not None and scene.model.dof > 0:
+        S = kin.S                                         # (dof, 6)
+        Sw, Sv = S[:, :3], S[:, 3:]
+        # velocity of dof d at point x: Sv_d + Sw_d x x
+        vel_at = (Sv[None, :, :]
+                  + jnp.cross(Sw[None, :, :],
+                              contacts.pos[:, None, :]))  # (C, dof, 3)
+        Jfull = _einsum("cij,cdj->cid", dirs, vel_at)     # (C, 3, dof)
+        is_link_a = (contacts.body_a >= 0) & (contacts.body_a < L)
+        is_link_b = (contacts.body_b >= 0) & (contacts.body_b < L)
+        anc_a = anc_mask[jnp.clip(contacts.body_a, 0, L - 1)]  # (C, dof)
+        anc_b = anc_mask[jnp.clip(contacts.body_b, 0, L - 1)]
+        mask = (jnp.where(is_link_a[:, None], anc_a, 0.0)
+                - jnp.where(is_link_b[:, None], anc_b, 0.0))   # (C, dof)
+        J_rob = Jfull * mask[:, None, :]                  # (C, 3, dof)
+        MinvJt = _einsum("de,cie->cid", Minv_eff, J_rob)  # (C, 3, dof)
+        D_rob = jnp.sum(J_rob * MinvJt, axis=-1)          # (C, 3)
+    else:
+        J_rob = jnp.zeros((nC, 3, 0))
+        MinvJt = J_rob
+        D_rob = jnp.zeros((nC, 3))
+
+    # ---- actor terms ----
+    a_idx_a = contacts.body_a - L                         # (C,) maybe <0
+    a_idx_b = contacts.body_b - L
+    is_act_a = a_idx_a >= 0
+    is_act_b = a_idx_b >= 0
+    inv_mass = 1.0 / jnp.asarray(scene.actors.mass)
+    # world-frame inverse inertia per actor
+    from gsworld_tpu.core.maths import quat_to_matrix
+    Rw = quat_to_matrix(state.a_quat)                     # (A, 3, 3)
+    Iw = _einsum("aij,ajk,alk->ail", Rw, jnp.asarray(scene.actors.inertia), Rw)
+    Iw_inv = jnp.linalg.inv(Iw)                           # (A, 3, 3)
+
+    def lever(idx, is_act):
+        com = state.a_pos[jnp.clip(idx, 0, A - 1)]
+        r = contacts.pos - com
+        return jnp.where(is_act[:, None], r, 0.0)
+
+    r_a = lever(a_idx_a, is_act_a)
+    r_b = lever(a_idx_b, is_act_b)
+    rxd_a = jnp.cross(r_a[:, None, :], dirs)              # (C, 3, 3)
+    rxd_b = jnp.cross(r_b[:, None, :], dirs)
+    im_a = jnp.where(is_act_a, inv_mass[jnp.clip(a_idx_a, 0, A - 1)], 0.0)
+    im_b = jnp.where(is_act_b, inv_mass[jnp.clip(a_idx_b, 0, A - 1)], 0.0)
+    Ii_a = Iw_inv[jnp.clip(a_idx_a, 0, A - 1)] * is_act_a[:, None, None]
+    Ii_b = Iw_inv[jnp.clip(a_idx_b, 0, A - 1)] * is_act_b[:, None, None]
+    D_act = (im_a[:, None] + im_b[:, None]
+             + _einsum("cij,cjk,cik->ci", rxd_a, Ii_a, rxd_a)
+             + _einsum("cij,cjk,cik->ci", rxd_b, Ii_b, rxd_b))
+    D = jnp.maximum(D_rob + D_act, 1e-9)                  # (C, 3)
+
+    # Baumgarte bias: desired separating normal velocity
+    b = jnp.minimum(sp.baumgarte / h * jnp.maximum(contacts.pen - sp.slop, 0.0),
+                    sp.max_pen_vel)
+
+    act_mask = contacts.active
+    seg_a = jnp.where(is_act_a, a_idx_a, A)               # A = trash row
+    seg_b = jnp.where(is_act_b, a_idx_b, A)
+
+    # --- mass splitting: Jacobi diverges when several active rows push the
+    # same body (each assumes the others are fixed); divide each row's step
+    # by the number of active rows sharing its most-contended body ---
+    af = act_mask.astype(jnp.float32)
+    cnt_act = (jnp.zeros(A + 1).at[seg_a].add(af)
+               + jnp.zeros(A + 1).at[seg_b].add(af))       # rows per actor
+    if scene.model is not None and scene.model.dof > 0:
+        is_link_row = ((contacts.body_a >= 0) & (contacts.body_a < L)) | \
+                      ((contacts.body_b >= 0) & (contacts.body_b < L))
+        cnt_rob = jnp.sum(af * is_link_row)
+    else:
+        is_link_row = jnp.zeros_like(act_mask)
+        cnt_rob = 0.0
+    n_shared = jnp.maximum(
+        jnp.maximum(cnt_act[seg_a], cnt_act[seg_b]),
+        jnp.where(is_link_row, cnt_rob, 0.0))
+    split = 1.0 / jnp.maximum(n_shared, 1.0)               # (C,)
+
+    def body_vel(qvel, a_lin, a_ang):
+        # relative velocity along each dir: J_rob qvel + actor terms
+        v = _einsum("cid,d->ci", J_rob, qvel)
+        lin_a = a_lin[jnp.clip(a_idx_a, 0, A - 1)] * is_act_a[:, None]
+        ang_a = a_ang[jnp.clip(a_idx_a, 0, A - 1)] * is_act_a[:, None]
+        lin_b = a_lin[jnp.clip(a_idx_b, 0, A - 1)] * is_act_b[:, None]
+        ang_b = a_ang[jnp.clip(a_idx_b, 0, A - 1)] * is_act_b[:, None]
+        va = lin_a + jnp.cross(ang_a, r_a)
+        vb = lin_b + jnp.cross(ang_b, r_b)
+        v = v + _einsum("cij,cj->ci", dirs, va - vb)
+        return v                                          # (C, 3)
+
+    def deltas_from_lam(lam):
+        # robot
+        dqvel = jnp.sum(_einsum("cid,ci->cd", MinvJt, lam), axis=0)
+        # actors: impulse world vectors
+        P = _einsum("cij,ci->cj", dirs, lam)              # (C, 3)
+        dlin = (jnp.zeros((A + 1, 3)).at[seg_a].add(P * im_a[:, None])
+                - jnp.zeros((A + 1, 3)).at[seg_b].add(P * im_b[:, None]))[:A]
+        tau_a = jnp.cross(r_a, P)
+        tau_b = jnp.cross(r_b, P)
+        dang = (jnp.zeros((A + 1, 3)).at[seg_a].add(
+                    _einsum("cij,cj->ci", Ii_a, tau_a))
+                - jnp.zeros((A + 1, 3)).at[seg_b].add(
+                    _einsum("cij,cj->ci", Ii_b, tau_b)))[:A]
+        return dqvel, dlin, dang
+
+    def iteration(lam, _):
+        dqvel, dlin, dang = deltas_from_lam(lam)
+        v = body_vel(qvel_free + dqvel, a_lin_free + dlin, a_ang_free + dang)
+        step = sp.relaxation * split
+        # normal update
+        ln = lam[:, 0] - step * (v[:, 0] - b) / D[:, 0]
+        ln = jnp.where(act_mask, jnp.maximum(ln, 0.0), 0.0)
+        # friction box clamp
+        lim = contacts.friction * ln
+        lt1 = jnp.clip(lam[:, 1] - step * v[:, 1] / D[:, 1], -lim, lim)
+        lt2 = jnp.clip(lam[:, 2] - step * v[:, 2] / D[:, 2], -lim, lim)
+        lt1 = jnp.where(act_mask, lt1, 0.0)
+        lt2 = jnp.where(act_mask, lt2, 0.0)
+        return jnp.stack([ln, lt1, lt2], axis=1), None
+
+    lam0 = jnp.zeros((nC, 3))
+    lam, _ = jax.lax.scan(iteration, lam0, None, length=sp.iterations)
+    dqvel, dlin, dang = deltas_from_lam(lam)
+    return (qvel_free + dqvel, a_lin_free + dlin, a_ang_free + dang, lam)
+
+
+# ---------------------------------------------------------------------- #
+# Stepping
+# ---------------------------------------------------------------------- #
+
+
+def physics_substep(scene: PhysicsScene, state: WorldState, q_target,
+                    anc_mask):
+    model = scene.model
+    h = scene.h
+    kin = D.compute_kinematics(model, state.qpos, state.root_pos,
+                               state.root_quat)
+    M = D.mass_matrix(model, kin)
+    bias = D.bias_forces(model, kin, state.qvel)
+    tau = D.pd_torque(model, state.qpos, state.qvel, q_target,
+                      jnp.asarray(scene.kp), jnp.asarray(scene.kd),
+                      jnp.asarray(scene.force_limit))
+    damp = jnp.asarray(scene.kd) + jnp.asarray(model.damping)
+    A_eff = M + h * jnp.eye(model.dof) * damp
+    Minv_eff = jnp.linalg.inv(A_eff)
+    qvel_free = state.qvel + h * (Minv_eff @ (tau - bias))
+
+    a_lin_free = state.a_lin + h * D.GRAVITY
+    a_ang_free = state.a_ang
+
+    contacts, la_spans = _generate_contacts(scene, kin, state)
+    qvel, a_lin, a_ang, lam = _solve_contacts(
+        scene, kin, contacts, Minv_eff, qvel_free, a_lin_free, a_ang_free,
+        state, anc_mask)
+
+    # per-(link, actor) pair contact force (world) on the link
+    n_la = len(np.asarray(scene.la_pairs).reshape(-1, 2))
+    if n_la and contacts.pen.shape[0]:
+        n_dirs = contacts.normal
+        t1, t2 = _tangent_basis(n_dirs)
+        P = (n_dirs * lam[:, 0:1] + t1 * lam[:, 1:2] + t2 * lam[:, 2:3]) / h
+        L = model.num_links
+        forces = []
+        for pi, (l, a) in enumerate(np.asarray(scene.la_pairs).reshape(-1, 2)):
+            sel_a = (contacts.body_a == int(l)) & (contacts.body_b == L + int(a))
+            sel_b = (contacts.body_a == L + int(a)) & (contacts.body_b == int(l))
+            f = (jnp.sum(jnp.where(sel_a[:, None], P, 0.0), axis=0)
+                 - jnp.sum(jnp.where(sel_b[:, None], P, 0.0), axis=0))
+            forces.append(f)
+        la_forces = jnp.stack(forces)
+    else:
+        la_forces = jnp.zeros((max(n_la, 1), 3))
+
+    # limits + integration (articulation)
+    vmax = jnp.asarray(model.velocity)
+    qvel = jnp.clip(qvel, -vmax, vmax)
+    qpos = state.qpos + h * qvel
+    lo = jnp.asarray(model.qlimits[:, 0])
+    hi = jnp.asarray(model.qlimits[:, 1])
+    qpos = jnp.clip(qpos, lo, hi)
+    qvel = jnp.where((qpos <= lo) & (qvel < 0), 0.0, qvel)
+    qvel = jnp.where((qpos >= hi) & (qvel > 0), 0.0, qvel)
+    qpos, qvel = D.slave_mimics(model, qpos, qvel)
+
+    # actors
+    a_pos = state.a_pos + h * a_lin
+    wq = jnp.concatenate([jnp.zeros_like(a_ang[:, :1]), a_ang], axis=1)
+    a_quat = quat_normalize(state.a_quat + 0.5 * h *
+                            quat_multiply(wq, state.a_quat))
+
+    return WorldState(qpos=qpos, qvel=qvel, root_pos=state.root_pos,
+                      root_quat=state.root_quat, a_pos=a_pos, a_quat=a_quat,
+                      a_lin=a_lin, a_ang=a_ang, la_forces=la_forces)
+
+
+def control_step(scene: PhysicsScene, state: WorldState,
+                 q_target) -> WorldState:
+    """One control step = substeps at sim_freq with a fixed PD target
+    (the reference's controller.set_drive_targets -> N physx substeps)."""
+    anc_mask = jnp.asarray(D._ancestor_dofs(scene.model), jnp.float32)
+
+    def sub(s, _):
+        return physics_substep(scene, s, q_target, anc_mask), None
+
+    state, _ = jax.lax.scan(sub, state, None, length=scene.substeps)
+    return state
