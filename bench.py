@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark driver: closed-loop env steps/sec with 640x480 GS render.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Benchmark config mirrors the reference's measured path
+(examples/maniskill/gsworld_rand_action_tabletop.py:107-133: AlignFr3Env-v1,
+random actions, 640x480, 2 cameras, sim 120 Hz / control 40 Hz).  The
+baseline divisor is the single-env closed-loop rate of the reference's
+CUDA/PhysX pipeline; no published number exists (BASELINE.md), so we use
+15 steps/s as a representative figure for the reference's serial
+python-loop renderer on a datacenter GPU.
+"""
+
+import json
+import os
+import sys
+
+REFERENCE_SINGLE_ENV_FPS = 15.0
+
+
+def main():
+    import jax
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4"))
+    ep_len = int(os.environ.get("BENCH_EP_LEN", "10"))
+    width = int(os.environ.get("BENCH_WIDTH", "640"))
+    height = int(os.environ.get("BENCH_HEIGHT", "480"))
+    synthetic_scale = float(os.environ.get("BENCH_SYNTH_SCALE", "1.0"))
+    preset = os.environ.get("BENCH_PRESET", "")
+    if preset == "smoke" or "--preset" in sys.argv and "smoke" in sys.argv:
+        num_envs, ep_len, width, height, synthetic_scale = 1, 3, 160, 120, 0.05
+
+    from gsworld_tpu.rollout.random_actions import build, rollout_fps
+
+    env, wrapper = build(
+        "AlignFr3Env-v1", num_envs=num_envs, cfg_name="fr3_align",
+        sim_freq=120, control_freq=40, width=width, height=height,
+        max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", "1024")),
+        tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", "16")),
+        synthetic_scale=synthetic_scale)
+    fps, spf, _ = rollout_fps(wrapper, ep_len, seed=0, use_scan=True)
+    print(json.dumps({
+        "metric": "closed-loop env steps/s, 640x480 GS render, "
+                  f"{num_envs} envs (AlignFr3Env-v1 random actions)",
+        "value": round(fps, 2),
+        "unit": "env-steps/s",
+        "vs_baseline": round(fps / REFERENCE_SINGLE_ENV_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

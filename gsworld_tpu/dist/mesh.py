@@ -1,0 +1,69 @@
+"""Device-mesh sharding of the env axis.
+
+The reference's parallelism is batched envs + CPU process fan-out
+(SURVEY.md §2.4); on TPU the env axis shards across chips over ICI with
+``jax.sharding`` — envs are embarrassingly parallel (no cross-env
+communication except metric reductions, which XLA lowers to psum).
+
+Usage:
+    mesh = env_mesh()                       # all local devices, axis "env"
+    state = shard_env_axis(state, mesh)     # leading axis -> devices
+    step = jax.jit(step_fn, ...)            # XLA partitions automatically
+
+Multi-host pods: call ``init_distributed()`` first (jax.distributed), then
+``env_mesh(jax.devices())`` spans the pod; per-host episode IO shards by
+``jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(**kwargs) -> None:
+    """Initialize multi-host JAX (no-op if single-process)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-host
+
+
+def env_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("env",))
+
+
+def env_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for arrays with a leading env axis."""
+    return NamedSharding(mesh, P("env"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_env_axis(tree, mesh: Mesh):
+    """device_put every array leaf with its leading axis split over the
+    mesh's env axis (leaves without a shardable leading axis replicate)."""
+    n = mesh.shape["env"]
+    es = env_sharding(mesh)
+    rep = replicated(mesh)
+
+    def put(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0 \
+                and x.shape[0] > 0:
+            return jax.device_put(x, es)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(put, tree)
+
+
+def mean_across_envs(x):
+    """Batch-mean that lowers to a psum across the env mesh axis when the
+    input is env-sharded."""
+    import jax.numpy as jnp
+    return jnp.mean(x, axis=0)

@@ -62,6 +62,43 @@ def concat_splats(splats: Iterable[Dict[str, np.ndarray]]) -> Dict[str, np.ndarr
     return {k: np.concatenate([s[k] for s in splats], axis=0) for k in splats[0]}
 
 
+def make_room_shell(
+    rng: np.random.Generator,
+    n: int,
+    center: Sequence[float],
+    extent: Sequence[float],
+    color: Sequence[float],
+    label: int = -1,
+    log_scale_mean: float = -4.2,
+) -> Dict[str, np.ndarray]:
+    """Background splats on the *surface* of a box (floor + 4 walls +
+    ceiling), like a scanned room — a filled volume would act as fog and
+    occlude the scene from any camera inside it."""
+    extent = np.asarray(extent, np.float64)
+    center = np.asarray(center, np.float64)
+    # choose faces proportionally to their area
+    areas = np.array([extent[0] * extent[1],  # z faces (floor/ceiling)
+                      extent[0] * extent[2],  # y faces
+                      extent[1] * extent[2]]) # x faces
+    areas = np.repeat(areas, 2)
+    probs = areas / areas.sum()
+    face = rng.choice(6, size=n, p=probs)
+    u = rng.uniform(-1, 1, size=(n, 3))
+    pts = u * extent
+    axis = face // 2
+    sign = np.where(face % 2 == 0, -1.0, 1.0)
+    # project onto the chosen face along its axis
+    pick = np.array([2, 2, 1, 1, 0, 0])[face]
+    for a in range(3):
+        m = pick == a
+        pts[m, a] = sign[m] * extent[a]
+    pts = pts + center
+    blob = make_blob(rng, n, [0, 0, 0], 0.0, color, label,
+                     log_scale_mean=log_scale_mean)
+    blob["means"] = pts.astype(np.float32)
+    return blob
+
+
 def make_tabletop_scene(
     seed: int = 0,
     n_background: int = 20000,

@@ -49,12 +49,14 @@ class RasterConfig:
     height: int = 480
     tile: int = 16
     max_per_tile: int = 1024        # per-tile gaussian list capacity
+    max_tiles_per_gaussian: int = 16  # duplication cap in binning
     sh_degree: int = 3
     znear_cull: float = GS_NEAR_CULL
     znear: float = DEFAULT_ZNEAR
     zfar: float = DEFAULT_ZFAR
     bg: Tuple[float, float, float] = (0.0, 0.0, 0.0)
-    tile_chunk: int = 64            # tiles rasterized per lax.map step
+    tile_chunk: int = 64            # tiles rasterized per lax.map step (xla)
+    backend: str = "auto"           # "auto" | "xla" | "pallas" compositor
 
     @property
     def tiles_x(self) -> int:

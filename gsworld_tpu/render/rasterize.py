@@ -103,13 +103,25 @@ def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig):
     return img, T_img
 
 
+def _use_pallas(cfg: RasterConfig) -> bool:
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def render(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
            sh0, shN) -> jnp.ndarray:
     """Full forward render of one env through one camera -> (H, W, 3) in
     [0, 1]. vmap over leading axes of (g, cam) for batching."""
     proj = project_gaussians(g, cam, cfg, sh0, shN)
     bins = bin_gaussians(proj, cfg)
-    img, _ = composite_tiles(proj, bins, cfg)
+    if _use_pallas(cfg):
+        from gsworld_tpu.render.rasterize_pallas import composite_tiles_pallas
+        img, _ = composite_tiles_pallas(proj, bins, cfg)
+    else:
+        img, _ = composite_tiles(proj, bins, cfg)
     return img
 
 
