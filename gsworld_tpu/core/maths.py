@@ -237,6 +237,28 @@ def euler2mat(x, y, z):
     return Rz @ Ry @ Rx
 
 
+def matrix_to_euler_xyz(R):
+    """Rotation matrix -> intrinsic XYZ euler angles (pytorch3d
+    ``matrix_to_euler_angles(..., "XYZ")`` convention: R = Rx @ Ry @ Rz),
+    as used by the pour-detection tilt check (pour_mustard.py:166-171)."""
+    # R = Rx(a) Ry(b) Rz(c):
+    #   R[0,2] = sin(b); R[1,2] = -sin(a)cos(b); R[2,2] = cos(a)cos(b)
+    #   R[0,1] = -cos(b)sin(c); R[0,0] = cos(b)cos(c)
+    b = jnp.arcsin(jnp.clip(R[..., 0, 2], -1.0, 1.0))
+    a = jnp.arctan2(-R[..., 1, 2], R[..., 2, 2])
+    c = jnp.arctan2(-R[..., 0, 1], R[..., 0, 0])
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def quat_angle_between(q1, q2):
+    """Angular difference between quats in degrees, via |w| of the relative
+    rotation (rotate_banana.py:152-177 semantics)."""
+    q1 = quat_normalize(q1)
+    q2 = quat_normalize(q2)
+    w = jnp.abs(jnp.sum(q1 * q2, axis=-1))
+    return jnp.rad2deg(2.0 * jnp.arccos(jnp.clip(w, 0.0, 1.0)))
+
+
 def inverse_sigmoid(x):
     """log(x / (1 - x)); the reference's opacity/scale logit transform
     (gsworld/utils/gs_utils.py:169-170)."""

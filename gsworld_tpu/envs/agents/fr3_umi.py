@@ -54,8 +54,9 @@ def _fr3_agent(uid: str) -> AgentSpec:
         contact_links=("fr3_leftfinger", "fr3_rightfinger", "fr3_hand"),
         arm_dof_ids=arm_ids, gripper_dof_ids=grip_ids,
         finger_friction=2.0,
-        # fingers open along +y (left) / -y (right) in their link frames
-        finger_open_axes=((0, 1.0), (1, -1.0)),
+        # opening dirs: +y of left finger, -y of right finger
+        # (fr3_umi.py:170-171: T[..., :3, 1] columns)
+        finger_open_axes=((1, 1.0), (1, -1.0)),
     )
 
 

@@ -210,12 +210,14 @@ class GsBaseEnv:
         ep = self._initialize_episode(init_key)
         A = self.scene.actors.num
         n_la = max(len(self._la_pairs), 1)
+        from gsworld_tpu.physics.world import contact_row_count
         world = WorldState(
             qpos=ep.qpos, qvel=jnp.zeros(self.agent.model.dof),
             root_pos=jnp.zeros(3), root_quat=jnp.asarray([1.0, 0, 0, 0]),
             a_pos=ep.a_pos, a_quat=ep.a_quat,
             a_lin=jnp.zeros((A, 3)), a_ang=jnp.zeros((A, 3)),
-            la_forces=jnp.zeros((n_la, 3)))
+            la_forces=jnp.zeros((n_la, 3)),
+            contact_lam=jnp.zeros((contact_row_count(self.scene), 3)))
         return world, run_key, ep.qpos, ep.task
 
     def _reset_fn(self, keys):
@@ -232,12 +234,25 @@ class GsBaseEnv:
         world = control_step(self.scene, world, target)
         return world, target
 
+    def update_task_state(self, data, task):
+        """Optional per-step task-state update (e.g. sticky has_poured flags,
+        pour_mustard.py:178-190). Single-env; vmapped by the base."""
+        return task
+
     def _step_fn(self, state: EnvState, action):
         world, target = jax.vmap(self._single_step)(
             state.world, state.prev_target, action)
         elapsed = state.elapsed + 1
         state = EnvState(world=world, key=state.key, elapsed=elapsed,
                          prev_target=target, task=state.task)
+        if state.task:
+            data = self._vmapped_data(state)
+            new_task = jax.vmap(
+                lambda d: self.update_task_state(
+                    {k: v for k, v in d.items() if k != "task"}, d["task"])
+            )(data)
+            state = EnvState(world=world, key=state.key, elapsed=elapsed,
+                             prev_target=target, task=new_task)
         obs = self._observations(state)
         info = self._info(state)
         if self.reward_mode == "dense":

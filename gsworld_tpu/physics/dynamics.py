@@ -225,6 +225,46 @@ def pd_torque(model: ArticulationModel, qpos, qvel, q_target, kp, kd,
     return tau
 
 
+def implicit_pd_velocity(model: ArticulationModel, M, bias, qpos, qvel,
+                         q_target, kp, kd, force_limit, h: float,
+                         tau_external=None):
+    """Force-limited implicit PD velocity update.
+
+    PhysX clamps the *total* drive force kp(q*-q) - kd qd to +-limit; a naive
+    implicit formulation instead keeps full kd damping in the system matrix,
+    which freezes joints whose required force far exceeds the limit (e.g. the
+    xarm gripper: kp=1e5 with limit=0.1, xarm6_uf_gripper.py:129-131).  We
+    solve once with full gains, estimate the implied drive force, scale each
+    dof's (kp, kd) by min(1, limit/|force|), and re-solve — approximating the
+    saturated drive while staying implicit (stable) in the unsaturated ones.
+
+    Returns (qvel_new, Minv_eff) with Minv_eff the inverse of the effective
+    system matrix (used by the contact solver as the impulse response).
+    """
+
+    def solve(kp_e, kd_e):
+        tau = pd_torque(model, qpos, qvel, q_target, kp_e, kd_e,
+                        jnp.asarray(force_limit))
+        if tau_external is not None:
+            tau_t = tau + tau_external
+        else:
+            tau_t = tau
+        damp = kd_e + jnp.asarray(model.damping)
+        A = M + h * jnp.eye(model.dof) * damp
+        Minv = jnp.linalg.inv(A)
+        qv = qvel + Minv @ (h * (tau_t - bias))
+        return qv, Minv
+
+    kp = jnp.broadcast_to(jnp.asarray(kp, jnp.float32), (model.dof,))
+    kd = jnp.broadcast_to(jnp.asarray(kd, jnp.float32), (model.dof,))
+    fl = jnp.broadcast_to(jnp.asarray(force_limit, jnp.float32), (model.dof,))
+
+    qv1, _ = solve(kp, kd)
+    tau_impl = kp * (q_target - qpos) - kd * qv1
+    scale = jnp.minimum(1.0, fl / jnp.maximum(jnp.abs(tau_impl), 1e-9))
+    return solve(kp * scale, kd * scale)
+
+
 def slave_mimics(model: ArticulationModel, qpos, qvel):
     mp = model.mimic_parent
     if not (mp >= 0).any():
@@ -251,14 +291,9 @@ def step_articulation_free(model: ArticulationModel, qpos, qvel, q_target,
     kin = compute_kinematics(model, qpos, root_pos, root_quat)
     M = mass_matrix(model, kin)
     bias = bias_forces(model, kin, qvel, gravity)
-    tau = pd_torque(model, qpos, qvel, q_target, kp, kd, force_limit)
-    if tau_external is not None:
-        tau = tau + tau_external
-    damp = kd + jnp.asarray(model.damping)
-    A = M + h * jnp.eye(model.dof) * damp
-    rhs = h * (tau - bias)
-    dv = jnp.linalg.solve(A, rhs[..., None])[..., 0]
-    qvel_new = qvel + dv
+    qvel_new, _ = implicit_pd_velocity(
+        model, M, bias, qpos, qvel, q_target, kp, kd, force_limit, h,
+        tau_external=tau_external)
     # velocity limits (URDF)
     vmax = jnp.asarray(model.velocity)
     qvel_new = jnp.clip(qvel_new, -vmax, vmax)

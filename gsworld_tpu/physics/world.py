@@ -59,7 +59,7 @@ class ActorTable:
 
 @dataclasses.dataclass(frozen=True)
 class SolverParams:
-    iterations: int = 16
+    iterations: int = 24
     relaxation: float = 0.7
     baumgarte: float = 0.2
     slop: float = 0.005
@@ -92,6 +92,17 @@ class PhysicsScene:
         return 1.0 / self.sim_freq
 
 
+def contact_row_count(scene: "PhysicsScene") -> int:
+    """Static number of candidate contact rows (see _generate_contacts)."""
+    A = scene.actors.num
+    K = scene.actors.sup_pts.shape[1] if A else 0
+    Kl = scene.link_collision_pts.shape[1] if scene.model is not None else 0
+    n = scene.planes.shape[0] * A * K
+    n += len(np.asarray(scene.aa_pairs).reshape(-1, 2)) * 2 * K
+    n += len(np.asarray(scene.la_pairs).reshape(-1, 2)) * (Kl + K)
+    return n
+
+
 @struct.dataclass
 class WorldState:
     qpos: jnp.ndarray      # (dof,)
@@ -104,6 +115,8 @@ class WorldState:
     a_ang: jnp.ndarray     # (A, 3)
     # diagnostics / queries, refreshed each control step
     la_forces: jnp.ndarray # (n_la, 3) world force of actor on link
+    # warm-start impulses for the contact solver (static row layout)
+    contact_lam: jnp.ndarray = None  # (C, 3)
 
 
 # ---------------------------------------------------------------------- #
@@ -199,7 +212,7 @@ def _tangent_basis(n):
 
 def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
                     Minv_eff, qvel_free, a_lin_free, a_ang_free, state,
-                    anc_mask):
+                    anc_mask, lam0=None):
     """Projected-Jacobi contact solve. Returns (qvel, a_lin, a_ang,
     impulses (C, 3dirs))."""
     sp = scene.solver
@@ -209,6 +222,8 @@ def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
     nC = contacts.pen.shape[0]
     if nC == 0:
         return qvel_free, a_lin_free, a_ang_free, jnp.zeros((0, 3))
+    if lam0 is None:
+        lam0 = jnp.zeros((nC, 3))
 
     n = contacts.normal
     t1, t2 = _tangent_basis(n)
@@ -277,20 +292,26 @@ def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
 
     # --- mass splitting: Jacobi diverges when several active rows push the
     # same body (each assumes the others are fixed); divide each row's step
-    # by the number of active rows sharing its most-contended body ---
+    # by the number of active rows sharing its most-contended body.
+    # Robot rows are counted per *link* (links couple through the arm, but
+    # per-link counting converges ~5x faster than a global row count and is
+    # stabilized by the under-relaxation) ---
     af = act_mask.astype(jnp.float32)
     cnt_act = (jnp.zeros(A + 1).at[seg_a].add(af)
                + jnp.zeros(A + 1).at[seg_b].add(af))       # rows per actor
     if scene.model is not None and scene.model.dof > 0:
-        is_link_row = ((contacts.body_a >= 0) & (contacts.body_a < L)) | \
-                      ((contacts.body_b >= 0) & (contacts.body_b < L))
-        cnt_rob = jnp.sum(af * is_link_row)
+        link_a = jnp.where((contacts.body_a >= 0) & (contacts.body_a < L),
+                           contacts.body_a, L)
+        link_b = jnp.where((contacts.body_b >= 0) & (contacts.body_b < L),
+                           contacts.body_b, L)
+        cnt_link = (jnp.zeros(L + 1).at[link_a].add(af)
+                    + jnp.zeros(L + 1).at[link_b].add(af))
+        cnt_link = cnt_link.at[L].set(0.0)
+        cnt_rob_row = jnp.maximum(cnt_link[link_a], cnt_link[link_b])
     else:
-        is_link_row = jnp.zeros_like(act_mask)
-        cnt_rob = 0.0
-    n_shared = jnp.maximum(
-        jnp.maximum(cnt_act[seg_a], cnt_act[seg_b]),
-        jnp.where(is_link_row, cnt_rob, 0.0))
+        cnt_rob_row = jnp.zeros_like(af)
+    n_shared = jnp.maximum(jnp.maximum(cnt_act[seg_a], cnt_act[seg_b]),
+                           cnt_rob_row)
     split = 1.0 / jnp.maximum(n_shared, 1.0)               # (C,)
 
     def body_vel(qvel, a_lin, a_ang):
@@ -335,7 +356,8 @@ def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
         lt2 = jnp.where(act_mask, lt2, 0.0)
         return jnp.stack([ln, lt1, lt2], axis=1), None
 
-    lam0 = jnp.zeros((nC, 3))
+    # warm start: keep impulses only on rows still active this substep
+    lam0 = jnp.where(act_mask[:, None], lam0, 0.0)
     lam, _ = jax.lax.scan(iteration, lam0, None, length=sp.iterations)
     dqvel, dlin, dang = deltas_from_lam(lam)
     return (qvel_free + dqvel, a_lin_free + dlin, a_ang_free + dang, lam)
@@ -354,13 +376,10 @@ def physics_substep(scene: PhysicsScene, state: WorldState, q_target,
                                state.root_quat)
     M = D.mass_matrix(model, kin)
     bias = D.bias_forces(model, kin, state.qvel)
-    tau = D.pd_torque(model, state.qpos, state.qvel, q_target,
-                      jnp.asarray(scene.kp), jnp.asarray(scene.kd),
-                      jnp.asarray(scene.force_limit))
-    damp = jnp.asarray(scene.kd) + jnp.asarray(model.damping)
-    A_eff = M + h * jnp.eye(model.dof) * damp
-    Minv_eff = jnp.linalg.inv(A_eff)
-    qvel_free = state.qvel + h * (Minv_eff @ (tau - bias))
+    qvel_free, Minv_eff = D.implicit_pd_velocity(
+        model, M, bias, state.qpos, state.qvel, q_target,
+        jnp.asarray(scene.kp), jnp.asarray(scene.kd),
+        jnp.asarray(scene.force_limit), h)
 
     a_lin_free = state.a_lin + h * D.GRAVITY
     a_ang_free = state.a_ang
@@ -368,7 +387,7 @@ def physics_substep(scene: PhysicsScene, state: WorldState, q_target,
     contacts, la_spans = _generate_contacts(scene, kin, state)
     qvel, a_lin, a_ang, lam = _solve_contacts(
         scene, kin, contacts, Minv_eff, qvel_free, a_lin_free, a_ang_free,
-        state, anc_mask)
+        state, anc_mask, lam0=state.contact_lam)
 
     # per-(link, actor) pair contact force (world) on the link
     n_la = len(np.asarray(scene.la_pairs).reshape(-1, 2))
@@ -407,7 +426,8 @@ def physics_substep(scene: PhysicsScene, state: WorldState, q_target,
 
     return WorldState(qpos=qpos, qvel=qvel, root_pos=state.root_pos,
                       root_quat=state.root_quat, a_pos=a_pos, a_quat=a_quat,
-                      a_lin=a_lin, a_ang=a_ang, la_forces=la_forces)
+                      a_lin=a_lin, a_ang=a_ang, la_forces=la_forces,
+                      contact_lam=lam)
 
 
 def control_step(scene: PhysicsScene, state: WorldState,

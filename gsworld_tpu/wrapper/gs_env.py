@@ -25,6 +25,7 @@ instead of the reference's throwaway second env (SURVEY.md §3.4).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Optional
 
 import jax
@@ -63,12 +64,13 @@ class GSWorldWrapper:
 
         gs_sem, sim2gs = constants.robot_calibration(scene_gs_cfg_name)
         self.sim2gs = np.asarray(sim2gs, np.float64)
-        _, scale_s2r, R_s2r, t_s2r = extract_rigid_transform(
-            jnp.asarray(self.sim2gs))
+        # host-side polar decomposition (pcd_utils.py:224-252 recipe); numpy
+        # SVD — the TPU backend has no SVD lowering
+        U, S, Vh = np.linalg.svd(self.sim2gs[:3, :3])
         self.rigid_sim2real = np.eye(4, dtype=np.float32)
-        self.rigid_sim2real[:3, :3] = np.asarray(R_s2r)
-        self.rigid_sim2real[:3, 3] = np.asarray(t_s2r)
-        self.scale_sim2real = float(scale_s2r)
+        self.rigid_sim2real[:3, :3] = (U @ Vh).astype(np.float32)
+        self.rigid_sim2real[:3, 3] = self.sim2gs[:3, 3]
+        self.scale_sim2real = float(S.mean())
 
         # objects present both in the env scene and the calibration DB
         self.gs_objects = [n for n in env.scene.actors.names
@@ -172,23 +174,28 @@ class GSWorldWrapper:
         posed = jax.vmap(per_env)(w)
 
         ext = env.camera_extrinsics_cv(state)                # (B, C, 4, 4)
-        images = {}
-        for ci, cam in enumerate(env.cameras):
-            gs_cam = jax.vmap(lambda e: cam_maniskill2gs(
-                e, jnp.asarray(cam.intrinsic), cam.width, cam.height,
-                jnp.asarray(self.rigid_sim2real),
-                jnp.float32(self.scale_sim2real)))(ext[:, ci])
-            cfg = RasterConfig(
-                width=cam.width, height=cam.height,
-                tile=self.raster_config.tile,
-                max_per_tile=self.raster_config.max_per_tile,
-                sh_degree=self.raster_config.sh_degree,
-                bg=self.raster_config.bg,
-                tile_chunk=self.raster_config.tile_chunk)
-            img = jax.vmap(lambda g, c: gs_render(
-                g, c, cfg, self.scene.sh0, self.scene.shN))(posed, gs_cam)
-            images[cam.name] = jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
-        return images
+
+        # envs render through lax.map (compiles the frame once; the pallas
+        # compositor cannot be vmapped, and serial env rendering also bounds
+        # the (B, tiles, K) record memory)
+        def render_env(args):
+            posed_e, ext_e = args
+            outs = []
+            for ci, cam in enumerate(env.cameras):
+                gs_cam = cam_maniskill2gs(
+                    ext_e[ci], jnp.asarray(cam.intrinsic), cam.width,
+                    cam.height, jnp.asarray(self.rigid_sim2real),
+                    jnp.float32(self.scale_sim2real))
+                cfg = dataclasses.replace(
+                    self.raster_config, width=cam.width, height=cam.height)
+                img = gs_render(posed_e, gs_cam, cfg, self.scene.sh0,
+                                self.scene.shN)
+                outs.append(jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8))
+            return jnp.stack(outs)
+
+        imgs = jax.lax.map(render_env, (posed, ext))          # (B, C, H, W, 3)
+        return {cam.name: imgs[:, ci]
+                for ci, cam in enumerate(env.cameras)}
 
     def _step_and_render(self, state, action):
         state, obs, reward, terminated, truncated, info = self.env._step_fn(

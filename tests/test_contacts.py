@@ -29,6 +29,7 @@ def init_state(model, scene, qpos, a_pos, a_quat=None):
     A = scene.actors.num
     if a_quat is None:
         a_quat = np.tile([1.0, 0, 0, 0], (A, 1))
+    from gsworld_tpu.physics.world import contact_row_count
     return WorldState(
         qpos=jnp.asarray(qpos), qvel=jnp.zeros(model.dof),
         root_pos=jnp.zeros(3), root_quat=jnp.asarray([1.0, 0, 0, 0]),
@@ -36,6 +37,7 @@ def init_state(model, scene, qpos, a_pos, a_quat=None):
         a_quat=jnp.asarray(a_quat, jnp.float32),
         a_lin=jnp.zeros((A, 3)), a_ang=jnp.zeros((A, 3)),
         la_forces=jnp.zeros((max(len(np.asarray(scene.la_pairs).reshape(-1, 2)), 1), 3)),
+        contact_lam=jnp.zeros((contact_row_count(scene), 3)),
     )
 
 
