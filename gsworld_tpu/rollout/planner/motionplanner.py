@@ -66,9 +66,11 @@ class MotionPlanningSolver:
     def __init__(self, env, debug: bool = False, vis: bool = False,
                  base_pose=None, print_env_info: bool = False,
                  joint_vel_limits=0.9, joint_acc_limits=0.9):
-        # accept a GSWorldWrapper or a bare env
+        # accept any wrapper chain (RecordEpisode/GSWorldWrapper/bare env)
         self.env = env
-        base = getattr(env, "env", env)
+        base = env
+        while hasattr(base, "env"):
+            base = base.env
         self.base_env = base
         self.agent = base.agent
         self.model = base.agent.model
@@ -169,6 +171,17 @@ class MotionPlanningSolver:
                                / self.joint_vel_limit * self.control_freq / 4)))
         qs = [qa0 + (qa1 - qa0) * (i / n) for i in range(1, n + 1)]
         return self.follow_path(qs, refine_steps=refine_steps)
+
+    def hold(self, steps: int = 10):
+        """Hold the current arm configuration (settle phase so the static
+        success predicates can latch)."""
+        q0, _, _ = self._state0()
+        result = None
+        for _ in range(steps):
+            result = self.env.step(
+                self._action(q0[list(self.arm_dofs)], self.gripper_state))
+            self.elapsed_steps += 1
+        return result
 
     def open_gripper(self, steps: int = 6):
         self.gripper_state = self.OPEN

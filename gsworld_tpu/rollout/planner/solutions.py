@@ -35,7 +35,9 @@ TOPDOWN_Q = build_grasp_quat([0, 0, -1.0], [0, 1.0, 0])
 
 
 def _actor_pos(env, name):
-    base = getattr(env, "env", env)
+    base = env
+    while hasattr(base, "env"):
+        base = base.env
     return np.asarray(base.state.world.a_pos[0, base.actor_index[name]])
 
 
@@ -65,6 +67,7 @@ def pick_and_place(env, planner, obj_name: str, goal_pos,
     res = planner.open_gripper(steps=6)
     res = planner.move_to_pose_with_screw(goal + [0, 0, hover + 0.1],
                                           TOPDOWN_Q, refine_steps=4)
+    res = planner.hold(steps=12)   # settle so static predicates can latch
     return res
 
 
@@ -167,6 +170,7 @@ def solveBananaRotationXArm(env, seed=None, debug=False, vis=False):
     if planner.move_to_pose_with_screw(grasp + [0, 0, 0.03], rot_q) == -1:
         return -1
     res = planner.open_gripper(steps=6)
+    res = planner.hold(steps=12)
     planner.close()
     return res
 

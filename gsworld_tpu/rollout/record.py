@@ -55,6 +55,7 @@ class RecordEpisode:
         self._meta: List[dict] = []
         self._traj_count = 0
         self._reset_buffers()
+        self._frames = []
         self._episode_seed = None
 
     def _reset_buffers(self):
@@ -62,13 +63,13 @@ class RecordEpisode:
         self._rewards = []
         self._success = []
         self._states = []
-        self._frames = []
         self._obs = []
 
     # ------------------------------------------------------------------ #
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
         self._reset_buffers()
+        self._frames = []
         self._episode_seed = seed
         obs, info = self.env.reset(seed=seed, options=options)
         self._maybe_record_frame(obs)
