@@ -45,6 +45,7 @@ def main():
         sim_freq=120, control_freq=40, width=width, height=height,
         max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", "1024")),
         tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", "16")),
+        max_tiles_per_gaussian=int(os.environ.get("BENCH_MAX_TILES", "8")),
         synthetic_scale=synthetic_scale)
     fps, spf, _ = rollout_fps(wrapper, ep_len, seed=0, use_scan=True)
     print(json.dumps({

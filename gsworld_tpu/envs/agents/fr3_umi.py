@@ -18,7 +18,11 @@ import numpy as np
 
 from gsworld_tpu.core.maths import compute_angle_between, quat_to_matrix
 from gsworld_tpu.envs.agents.base import AgentSpec, register_agent
-from gsworld_tpu.envs.controllers import CompositeController, JointGroupConfig
+from gsworld_tpu.envs.controllers import (
+    CompositeController,
+    EEGroupConfig,
+    JointGroupConfig,
+)
 from gsworld_tpu.physics.kinematics import build_articulation
 from gsworld_tpu.physics.spec_io import load_robot_spec
 
@@ -40,11 +44,22 @@ def _fr3_agent(uid: str) -> AgentSpec:
         dof_ids=grip_ids, lower=-0.01, upper=0.04, mimic=True,
         normalize_action=True, stiffness=1e3, damping=1e2, force_limit=100.0)
 
+    arm_pd_ee_delta_pos = EEGroupConfig(
+        dof_ids=arm_ids, ee_link="fr3_hand_tcp", use_rotation=False,
+        stiffness=1e3, damping=1e2, force_limit=100.0)
+    arm_pd_ee_delta_pose = EEGroupConfig(
+        dof_ids=arm_ids, ee_link="fr3_hand_tcp", use_rotation=True,
+        stiffness=1e3, damping=1e2, force_limit=100.0)
+
     controllers = {
         "pd_joint_delta_pos": CompositeController(
             groups=(arm_pd_joint_delta_pos, gripper), model=model),
         "pd_joint_pos": CompositeController(
             groups=(arm_pd_joint_pos, gripper), model=model),
+        "pd_ee_delta_pos": CompositeController(
+            groups=(arm_pd_ee_delta_pos, gripper), model=model),
+        "pd_ee_delta_pose": CompositeController(
+            groups=(arm_pd_ee_delta_pose, gripper), model=model),
     }
     return AgentSpec(
         uid=uid, spec=spec, model=model, controllers=controllers,

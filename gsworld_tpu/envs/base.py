@@ -229,8 +229,9 @@ class GsBaseEnv:
         return state, obs
 
     def _single_step(self, world, prev_target, action):
-        target = self.controller.compute_targets(world.qpos, prev_target,
-                                                 action)
+        target = self.controller.compute_targets(
+            world.qpos, prev_target, action,
+            root_pos=world.root_pos, root_quat=world.root_quat)
         world = control_step(self.scene, world, target)
         return world, target
 

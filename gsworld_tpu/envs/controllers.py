@@ -41,11 +41,34 @@ class JointGroupConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class EEGroupConfig:
+    """End-effector delta controller (pd_ee_delta_pos / pd_ee_delta_pose):
+    normalized deltas on the TCP pose, resolved to arm joint targets by
+    damped-least-squares IK over the FK Jacobian (fr3_umi.py:89-111)."""
+
+    dof_ids: Tuple[int, ...]          # arm dofs the IK solves over
+    ee_link: str
+    use_rotation: bool = False        # False: pos-only (3 actions)
+    pos_lower: float = -0.1
+    pos_upper: float = 0.1
+    rot_lower: float = -0.1
+    rot_upper: float = 0.1
+    stiffness: float = 1e3
+    damping: float = 1e2
+    force_limit: float = 100.0
+    ik_iters: int = 12
+
+    @property
+    def action_dim(self) -> int:
+        return 6 if self.use_rotation else 3
+
+
+@dataclasses.dataclass(frozen=True)
 class CompositeController:
     """Ordered joint groups; actions are concatenated group actions
     (ManiSkill's dict-controller flattening)."""
 
-    groups: Tuple[JointGroupConfig, ...]
+    groups: Tuple                      # JointGroupConfig | EEGroupConfig
     model: ArticulationModel
 
     @property
@@ -63,7 +86,8 @@ class CompositeController:
                 kp[d], kd[d], fl[d] = g.stiffness, g.damping, g.force_limit
         return kp, kd, fl
 
-    def compute_targets(self, qpos, prev_target, action):
+    def compute_targets(self, qpos, prev_target, action,
+                        root_pos=None, root_quat=None):
         """Map an action (..., action_dim) to PD targets (..., dof).
 
         Uncontrolled dofs hold their previous target (mimic dofs are slaved
@@ -76,6 +100,10 @@ class CompositeController:
         for g in self.groups:
             a = action[..., ofs:ofs + g.action_dim]
             ofs += g.action_dim
+            if isinstance(g, EEGroupConfig):
+                target = self._ee_targets(g, qpos, target, a,
+                                          root_pos, root_quat)
+                continue
             if g.mimic:
                 a = jnp.repeat(a, len(g.dof_ids), axis=-1)
             ids = jnp.asarray(g.dof_ids)
@@ -98,3 +126,25 @@ class CompositeController:
             new = jnp.clip(new, lo_j[ids], hi_j[ids])
             target = target.at[..., ids].set(new)
         return target
+
+    def _ee_targets(self, g: "EEGroupConfig", qpos, target, a,
+                    root_pos, root_quat):
+        from gsworld_tpu.core.maths import axis_angle_to_quat, quat_multiply
+        from gsworld_tpu.physics.ik import ee_pose_fn, solve_ik
+
+        fk = ee_pose_fn(self.model, g.ee_link)
+        p_now, q_now = fk(qpos, root_pos, root_quat)
+        dp = (g.pos_lower + (a[..., :3] + 1.0) * 0.5
+              * (g.pos_upper - g.pos_lower))
+        p_t = p_now + dp
+        if g.use_rotation:
+            drot = (g.rot_lower + (a[..., 3:6] + 1.0) * 0.5
+                    * (g.rot_upper - g.rot_lower))
+            q_t = quat_multiply(axis_angle_to_quat(drot), q_now)
+        else:
+            q_t = q_now
+        q_sol, _ = solve_ik(self.model, g.ee_link, p_t, q_t, qpos,
+                            g.dof_ids, root_pos=root_pos,
+                            root_quat=root_quat, iters=g.ik_iters)
+        ids = jnp.asarray(g.dof_ids)
+        return target.at[..., ids].set(q_sol[..., ids])

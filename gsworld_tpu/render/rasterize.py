@@ -37,9 +37,15 @@ T_EPS = 1e-4
 ALPHA_MAX = 0.99
 
 
-def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig):
-    """Blend per-tile lists into an (H, W, 3) image (+ (H, W) final
-    transmittance)."""
+def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig,
+                    semantics=None):
+    """Blend per-tile lists into ((H, W, 3) image, (H, W) transmittance[,
+    (H, W) int32 segmentation when per-gaussian ``semantics`` is given]).
+
+    Segmentation = semantic id of the dominant (max-weight) contributor per
+    pixel, -1 where nothing dominates — the GS analog of the reference's
+    obs_mode="rgb+segmentation" channel (SAPIEN per-entity seg ids,
+    gs_world_wrapper.py:168-173)."""
     t = cfg.tile
     K = cfg.max_per_tile
     gx, gy = cfg.tiles_x, cfg.tiles_y
@@ -86,12 +92,20 @@ def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig):
         w = a * T_excl * (1.0 - done)
         T_final = jnp.prod(1.0 - a * (1.0 - done), axis=-1)    # (P,)
         rgb = jnp.einsum("pk,kc->pc", w, color) + T_final[:, None] * bg
-        return rgb, T_final
+        if semantics is None:
+            return rgb, T_final, jnp.zeros(w.shape[:-1], jnp.int32)
+        # segmentation: semantic id of the dominant contributor per pixel
+        # (background -1 where nothing dominates)
+        best = jnp.argmax(w, axis=-1)                          # (P,)
+        sem = jnp.where(jnp.take_along_axis(w, best[..., None], -1)[..., 0]
+                        > 1e-4,
+                        semantics[safe][best], -1)
+        return rgb, T_final, sem
 
     def per_chunk(tids):
         return jax.vmap(one_tile)(tids)
 
-    rgb, T_fin = jax.lax.map(per_chunk, tchunks)
+    rgb, T_fin, seg = jax.lax.map(per_chunk, tchunks)
     rgb = rgb.reshape(-1, t * t, 3)[:num_tiles]
     T_fin = T_fin.reshape(-1, t * t)[:num_tiles]
 
@@ -100,7 +114,12 @@ def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig):
     img = img.reshape(gy * t, gx * t, 3)[: cfg.height, : cfg.width]
     T_img = T_fin.reshape(gy, gx, t, t).transpose(0, 2, 1, 3)
     T_img = T_img.reshape(gy * t, gx * t)[: cfg.height, : cfg.width]
-    return img, T_img
+    if semantics is None:
+        return img, T_img
+    seg = seg.reshape(-1, t * t)[:num_tiles]
+    seg_img = seg.reshape(gy, gx, t, t).transpose(0, 2, 1, 3)
+    seg_img = seg_img.reshape(gy * t, gx * t)[: cfg.height, : cfg.width]
+    return img, T_img, seg_img
 
 
 def _use_pallas(cfg: RasterConfig) -> bool:
@@ -112,11 +131,16 @@ def _use_pallas(cfg: RasterConfig) -> bool:
 
 
 def render(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
-           sh0, shN) -> jnp.ndarray:
+           sh0, shN, semantics=None):
     """Full forward render of one env through one camera -> (H, W, 3) in
-    [0, 1]. vmap over leading axes of (g, cam) for batching."""
+    [0, 1] (+ (H, W) int32 segmentation when ``semantics`` is given).
+    vmap over leading axes of (g, cam) for batching."""
     proj = project_gaussians(g, cam, cfg, sh0, shN)
     bins = bin_gaussians(proj, cfg)
+    if semantics is not None:
+        # segmentation path runs through the XLA compositor
+        img, _, seg = composite_tiles(proj, bins, cfg, semantics)
+        return img, seg
     if _use_pallas(cfg):
         from gsworld_tpu.render.rasterize_pallas import composite_tiles_pallas
         img, _ = composite_tiles_pallas(proj, bins, cfg)

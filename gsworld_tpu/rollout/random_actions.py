@@ -25,7 +25,7 @@ import jax.numpy as jnp
 def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
           control_freq: int, width: int, height: int, max_per_tile: int,
           tile_chunk: int, synthetic_scale: float = 1.0,
-          obs_mode: str = "rgb"):
+          obs_mode: str = "rgb", max_tiles_per_gaussian: int = 16):
     import dataclasses
 
     from gsworld_tpu import envs
@@ -45,6 +45,7 @@ def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
         env, cfg_name,
         raster_config=RasterConfig(width=width, height=height,
                                    max_per_tile=max_per_tile,
+                                   max_tiles_per_gaussian=max_tiles_per_gaussian,
                                    tile_chunk=tile_chunk),
         synthetic_sizes=sizes)
     return env, wrapper
@@ -58,20 +59,24 @@ def rollout_fps(wrapper, ep_len: int, seed: int = 0, warmup: int = 2,
     key = jax.random.PRNGKey(seed)
 
     if use_scan:
+        # carry only env-0's last frame out of the scan (stacking every
+        # frame would materialize ep_len*B*2 camera images in HBM); the
+        # per-step rgb mean forces full computation of all renders
         def body(carry, k):
             state, = carry
             a = jax.random.uniform(k, (env.num_envs, env.action_dim),
                                    minval=-1, maxval=1)
             state, obs, *_ = wrapper._step_and_render(state, a)
-            return (state,), obs["sensor_data"][env.cameras[0].name]["rgb"]
+            rgb = obs["sensor_data"][env.cameras[0].name]["rgb"]
+            return (state,), (jnp.mean(rgb.astype(jnp.float32)), rgb[0])
 
         scan_fn = jax.jit(lambda s, ks: jax.lax.scan(body, (s,), ks))
         keys = jax.random.split(key, ep_len)
-        (state,), frames = scan_fn(env.state, keys)       # compile
-        jax.block_until_ready(frames)
+        (state,), (sums, frames) = scan_fn(env.state, keys)  # compile
+        jax.block_until_ready(sums)
         t0 = time.perf_counter()
-        (state,), frames = scan_fn(env.state, keys)
-        jax.block_until_ready(frames)
+        (state,), (sums, frames) = scan_fn(env.state, keys)
+        jax.block_until_ready(sums)
         dt = time.perf_counter() - t0
         return ep_len * env.num_envs / dt, dt / ep_len, frames
 

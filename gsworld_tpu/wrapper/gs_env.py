@@ -178,9 +178,11 @@ class GSWorldWrapper:
         # envs render through lax.map (compiles the frame once; the pallas
         # compositor cannot be vmapped, and serial env rendering also bounds
         # the (B, tiles, K) record memory)
+        want_seg = "segmentation" in getattr(env, "obs_mode", "")
+
         def render_env(args):
             posed_e, ext_e = args
-            outs = []
+            outs, segs = [], []
             for ci, cam in enumerate(env.cameras):
                 gs_cam = cam_maniskill2gs(
                     ext_e[ci], jnp.asarray(cam.intrinsic), cam.width,
@@ -188,30 +190,39 @@ class GSWorldWrapper:
                     jnp.float32(self.scale_sim2real))
                 cfg = dataclasses.replace(
                     self.raster_config, width=cam.width, height=cam.height)
-                img = gs_render(posed_e, gs_cam, cfg, self.scene.sh0,
-                                self.scene.shN)
+                if want_seg:
+                    img, seg = gs_render(posed_e, gs_cam, cfg, self.scene.sh0,
+                                         self.scene.shN,
+                                         semantics=self.scene.semantics)
+                    segs.append(seg.astype(jnp.int16))
+                else:
+                    img = gs_render(posed_e, gs_cam, cfg, self.scene.sh0,
+                                    self.scene.shN)
                 outs.append(jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8))
+            if want_seg:
+                return jnp.stack(outs), jnp.stack(segs)
             return jnp.stack(outs)
 
+        if want_seg:
+            imgs, segs = jax.lax.map(render_env, (posed, ext))
+            return {cam.name: {"rgb": imgs[:, ci],
+                               "segmentation": segs[:, ci, :, :, None]}
+                    for ci, cam in enumerate(env.cameras)}
         imgs = jax.lax.map(render_env, (posed, ext))          # (B, C, H, W, 3)
-        return {cam.name: imgs[:, ci]
+        return {cam.name: {"rgb": imgs[:, ci]}
                 for ci, cam in enumerate(env.cameras)}
 
     def _step_and_render(self, state, action):
         state, obs, reward, terminated, truncated, info = self.env._step_fn(
             state, action)
         obs = dict(obs)
-        obs["sensor_data"] = {
-            name: {"rgb": img} for name, img in self._render_fn(state).items()
-        }
+        obs["sensor_data"] = self._render_fn(state)
         return state, obs, reward, terminated, truncated, info
 
     def _reset_and_render(self, keys):
         state, obs = self.env._reset_fn(keys)
         obs = dict(obs)
-        obs["sensor_data"] = {
-            name: {"rgb": img} for name, img in self._render_fn(state).items()
-        }
+        obs["sensor_data"] = self._render_fn(state)
         return state, obs
 
     # ------------------------------------------------------------------ #
