@@ -117,6 +117,7 @@ class GsBaseEnv:
             self.agent.model, self.agent.spec, self._actor_defs,
             contact_links=self.agent.contact_links,
             link_friction=self.agent.finger_friction,
+            planes=self._scene_planes(),
             kp=kp, kd=kd, force_limit=fl,
             sim_freq=sim_freq, control_freq=control_freq)
         self.actor_index = {n: i for i, n in
@@ -134,6 +135,14 @@ class GsBaseEnv:
 
     def _load_scene(self) -> None:
         """Append ActorDefs to self._actor_defs."""
+
+    def _scene_planes(self) -> Optional[np.ndarray]:
+        """Static contact planes. Tabletop tasks get the bounded table +
+        ground (scene_builder.py); empty base envs a ground plane at z=0."""
+        if hasattr(self, "x_offset"):
+            from gsworld_tpu.envs.scene_builder import TableSceneBuilderOffset
+            return TableSceneBuilderOffset(self.x_offset).planes()
+        return None
 
     def _initialize_episode(self, key) -> EpisodeInit:
         raise NotImplementedError

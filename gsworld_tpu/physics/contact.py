@@ -78,11 +78,20 @@ def transform_points(pos, quat, pts):
 
 
 def points_vs_plane(pts_w, plane):
-    """pts_w (K, 3) vs plane (4,) = (n, d) with n.x + d = height above.
+    """pts_w (K, 3) vs a (bounded) plane.
+
+    plane: (4,) = (n, d) with n.x + d = height above, or (8,) =
+    (n, d, xmin, xmax, ymin, ymax) restricting contact to an xy region
+    (bounded tabletop: objects slide off the edge, like the reference's
+    finite table box, scene_builder_with_x_offset.py:35-45).
     Returns (pen (K,), normal (K, 3), pos (K, 3))."""
     n = plane[:3]
     h = pts_w @ n + plane[3]
     pen = -h
+    if plane.shape[0] >= 8:
+        inside = ((pts_w[:, 0] >= plane[4]) & (pts_w[:, 0] <= plane[5])
+                  & (pts_w[:, 1] >= plane[6]) & (pts_w[:, 1] <= plane[7]))
+        pen = jnp.where(inside, pen, -1.0)
     normal = jnp.broadcast_to(n, pts_w.shape)
     return pen, normal, pts_w
 

@@ -103,108 +103,66 @@ def _ancestor_dofs(model: ArticulationModel):
 
 
 def mass_matrix(model: ArticulationModel, kin: KinState):
-    """CRBA in world coordinates: M[a, b] = S_a^T (sum_{links below both}
-    I_link) S_b."""
+    """CRBA in world coordinates as ONE dense contraction.
+
+    M[a, b] = sum over links l carrying both dofs on their root path of
+    S_a^T I_l S_b  =  sum_l (anc_l . S)^T I_l (anc_l . S) — so with the
+    static ancestor mask X_{l,d,:} = anc[l, d] * S_d the whole matrix is a
+    single einsum.  (The naive per-cell double loop emits ~200 tiny TPU
+    kernels; this emits 2.)
+    """
     Isp = _spatial_inertia(model, kin)                     # (..., L, 6, 6)
     anc = jnp.asarray(_ancestor_dofs(model), jnp.float32)  # (L, dof)
-    # IC[d] = sum over links whose path contains dof d
-    IC = _einsum("...lij,ld->...dij", Isp, anc)            # (..., dof, 6, 6)
-    # pair mask: dofs a,b both on path of some link <-> one is ancestor of
-    # the other; the composite about the deeper dof applies.
-    # M[a,b] = S_a^T IC[max_depth(a,b)] S_b, 0 if not on one chain.
-    # Build with a static double loop over dofs (dof <= 13).
-    nd = model.dof
-    anc_np = _ancestor_dofs(model)
-    # dof a is ancestor-or-equal of dof b iff a is on the path of b's link
-    a_of_b = np.zeros((nd, nd), bool)
-    for b in range(nd):
-        a_of_b[:, b] = anc_np[model.dof_link[b]]
-    rows = []
-    for a in range(nd):
-        row = []
-        for b in range(nd):
-            if a_of_b[a, b]:       # a ancestor of b: composite at b
-                deep = b
-            elif a_of_b[b, a]:
-                deep = a
-            else:
-                row.append(None)
-                continue
-            row.append((deep,))
-        rows.append(row)
-    Sv = kin.S
-    M = jnp.zeros(Sv.shape[:-2] + (nd, nd), Sv.dtype)
-    for a in range(nd):
-        for b in range(a, nd):
-            cell = rows[a][b]
-            if cell is None:
-                continue
-            deep = cell[0]
-            val = _einsum("...i,...ij,...j->...",
-                          Sv[..., a, :], IC[..., deep, :, :], Sv[..., b, :])
-            M = M.at[..., a, b].set(val)
-            if a != b:
-                M = M.at[..., b, a].set(val)
-    return M
+    X = anc[..., :, :, None] * kin.S[..., None, :, :]      # (..., L, dof, 6)
+    return _einsum("...lai,...lij,...lbj->...ab", X, Isp, X)
 
 
 def bias_forces(model: ArticulationModel, kin: KinState, qvel,
                 gravity=GRAVITY):
-    """RNEA with qddot = 0: returns tau_bias (..., dof) such that
-    M qddot + tau_bias = tau_applied."""
-    L = model.num_links
-    nd = model.dof
-    Isp = _spatial_inertia(model, kin)
-    S = kin.S
+    """RNEA with qddot = 0 as a handful of dense batched contractions.
 
-    zero6 = jnp.zeros(qvel.shape[:-1] + (6,), qvel.dtype)
-    # gravity trick: root "accelerates" upward at -g
-    a_root = zero6.at[..., 3:].set(-jnp.asarray(gravity))
+    With the static ancestor mask anc (L, dof), the recursions flatten:
+      V_l = sum_d anc[l,d] S_d qd_d
+      A_l = a_root + sum_d anc[l,d] (V_{link(d)} x_m S_d qd_d)
+      F_l = I_l A_l + V_l x* (I_l V_l)
+      tau_d = S_d . sum_l anc[l,d] F_l        (l in subtree(d) <=> anc[l,d])
+    (The per-link python loops emitted ~10 tiny kernels per link; this is
+    ~8 fused ops total.)
+    """
+    Isp = _spatial_inertia(model, kin)                 # (..., L, 6, 6)
+    S = kin.S                                          # (..., dof, 6)
+    anc = jnp.asarray(_ancestor_dofs(model), jnp.float32)
 
-    V = [None] * L
-    A = [None] * L
-    V[0] = zero6
-    A[0] = a_root
-    for i in range(1, L):
-        p = int(model.parent[i])
-        d = int(model.dof_index[i])
-        if d < 0:
-            V[i] = V[p]
-            A[i] = A[p]
-            continue
-        Si = S[..., d, :]
-        qd = qvel[..., d:d + 1]
-        Vj = Si * qd
-        V[i] = V[p] + Vj
-        # bias acceleration: a = a_p + V_i x_m (S qd)
-        w, v = V[i][..., :3], V[i][..., 3:]
-        wj, vj = Vj[..., :3], Vj[..., 3:]
-        cross_m = jnp.concatenate(
-            [jnp.cross(w, wj), jnp.cross(v, wj) + jnp.cross(w, vj)], axis=-1)
-        A[i] = A[p] + cross_m
+    Sq = S * qvel[..., :, None]                        # (..., dof, 6)
+    V = _einsum("ld,...di->...li", anc, Sq)            # (..., L, 6)
 
-    F = [None] * L
-    for i in range(L):
-        IA = _einsum("...ij,...j->...i", Isp[..., i, :, :], A[i])
-        IV = _einsum("...ij,...j->...i", Isp[..., i, :, :], V[i])
-        w, v = V[i][..., :3], V[i][..., 3:]
-        hw, hv = IV[..., :3], IV[..., 3:]
-        # force-space cross: V x* h = [w x hw + v x hv ; w x hv]
-        cross_f = jnp.concatenate(
-            [jnp.cross(w, hw) + jnp.cross(v, hv), jnp.cross(w, hv)], axis=-1)
-        F[i] = IA + cross_f
+    def cross_m(a, b):
+        # motion cross: [wa x wb ; va x wb + wa x vb]
+        wa, va = a[..., :3], a[..., 3:]
+        wb, vb = b[..., :3], b[..., 3:]
+        return jnp.concatenate(
+            [jnp.cross(wa, wb), jnp.cross(va, wb) + jnp.cross(wa, vb)],
+            axis=-1)
 
-    # backward accumulate subtree wrenches
-    Facc = list(F)
-    for i in range(L - 1, 0, -1):
-        p = int(model.parent[i])
-        Facc[p] = Facc[p] + Facc[i]
+    def cross_f(a, h):
+        # force cross: [wa x hw + va x hv ; wa x hv]
+        wa, va = a[..., :3], a[..., 3:]
+        hw, hv = h[..., :3], h[..., 3:]
+        return jnp.concatenate(
+            [jnp.cross(wa, hw) + jnp.cross(va, hv), jnp.cross(wa, hv)],
+            axis=-1)
 
-    tau = []
-    for d in range(nd):
-        li = int(model.dof_link[d])
-        tau.append(jnp.sum(S[..., d, :] * Facc[li], axis=-1))
-    return jnp.stack(tau, axis=-1)
+    V_of_dof = V[..., jnp.asarray(model.dof_link), :]  # (..., dof, 6)
+    c = cross_m(V_of_dof, Sq)                          # (..., dof, 6)
+    a_root = jnp.zeros_like(V[..., :1, :]).at[..., 0, 3:].set(
+        -jnp.asarray(gravity))
+    A = a_root + _einsum("ld,...di->...li", anc, c)    # (..., L, 6)
+
+    IA = _einsum("...lij,...lj->...li", Isp, A)
+    IV = _einsum("...lij,...lj->...li", Isp, V)
+    F = IA + cross_f(V, IV)                            # (..., L, 6)
+
+    return _einsum("ld,...li,...di->...d", anc, F, S)
 
 
 def pd_torque(model: ArticulationModel, qpos, qvel, q_target, kp, kd,

@@ -125,70 +125,108 @@ class WorldState:
 
 
 def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
-    """All candidate contacts (static count). Body ids: links 0..L-1, actors
-    L..L+A-1, -1 static world."""
+    """All candidate contacts (static count), fully batched: ONE vectorized
+    plane test + ONE vmapped hull query over all directed pairs (the
+    per-pair python loop emitted ~10 tiny kernels per pair).
+
+    Body ids: links 0..L-1, actors L..L+A-1, -1 static world."""
     L = scene.model.num_links if scene.model is not None else 0
+    A = scene.actors.num
+    K = scene.actors.sup_pts.shape[1] if A else 0
     sets: List[C.ContactSet] = []
 
-    a_pts_w = C.transform_points(state.a_pos[:, None, :].squeeze(1),
-                                 state.a_quat, jnp.asarray(scene.actors.sup_pts))
+    a_pts_w = C.transform_points(state.a_pos, state.a_quat,
+                                 jnp.asarray(scene.actors.sup_pts))
 
-    # actors vs planes
-    for p in range(scene.planes.shape[0]):
-        plane = jnp.asarray(scene.planes[p])
-        for a in range(scene.actors.num):
-            pen, nrm, pos = C.points_vs_plane(a_pts_w[a], plane)
-            k = pen.shape[0]
-            sets.append(C.ContactSet(
-                pos=pos, normal=nrm, pen=pen,
-                body_a=jnp.full((k,), L + a, jnp.int32),
-                body_b=jnp.full((k,), -1, jnp.int32),
-                friction=jnp.full((k,), scene.actors.friction[a]),
-                active=pen > 0))
+    # ---- actors vs planes: (P, A, K) in one shot ----
+    P = scene.planes.shape[0]
+    if P and A:
+        planes = jnp.asarray(scene.planes)                 # (P, >=4)
+        h = _einsum("akj,pj->pak", a_pts_w, planes[:, :3]) + \
+            planes[:, 3, None, None]
+        pen = -h                                           # (P, A, K)
+        if planes.shape[1] >= 8:
+            inside = ((a_pts_w[None, :, :, 0] >= planes[:, 4, None, None])
+                      & (a_pts_w[None, :, :, 0] <= planes[:, 5, None, None])
+                      & (a_pts_w[None, :, :, 1] >= planes[:, 6, None, None])
+                      & (a_pts_w[None, :, :, 1] <= planes[:, 7, None, None]))
+            pen = jnp.where(inside, pen, -1.0)
+        nrm = jnp.broadcast_to(planes[:, None, None, :3], (P, A, K, 3))
+        pos = jnp.broadcast_to(a_pts_w[None], (P, A, K, 3))
+        body_a = jnp.broadcast_to(
+            (L + jnp.arange(A, dtype=jnp.int32))[None, :, None], (P, A, K))
+        fric = jnp.broadcast_to(
+            jnp.asarray(scene.actors.friction)[None, :, None], (P, A, K))
+        sets.append(C.ContactSet(
+            pos=pos.reshape(-1, 3), normal=nrm.reshape(-1, 3),
+            pen=pen.reshape(-1), body_a=body_a.reshape(-1),
+            body_b=jnp.full((P * A * K,), -1, jnp.int32),
+            friction=fric.reshape(-1), active=pen.reshape(-1) > 0))
 
-    # actor vs actor (both directions)
-    for (i, j) in np.asarray(scene.aa_pairs).reshape(-1, 2):
-        i, j = int(i), int(j)
-        mu = 0.5 * (scene.actors.friction[i] + scene.actors.friction[j])
-        for (src, dst) in ((i, j), (j, i)):
-            pen, nrm, pos = C.points_vs_hull(
-                a_pts_w[src], state.a_pos[dst], state.a_quat[dst],
-                jnp.asarray(scene.actors.faces[dst]))
-            k = pen.shape[0]
-            sets.append(C.ContactSet(
-                pos=pos, normal=nrm, pen=pen,
-                body_a=jnp.full((k,), L + src, jnp.int32),
-                body_b=jnp.full((k,), L + dst, jnp.int32),
-                friction=jnp.full((k,), mu),
-                active=pen > 0))
-
-    # robot links vs actors (both directions); remember row spans per pair
+    # ---- hull queries: all directed (src pts -> dst hull) pairs at once ----
+    aa = np.asarray(scene.aa_pairs).reshape(-1, 2)
+    la = np.asarray(scene.la_pairs).reshape(-1, 2)
+    q_src_kind, q_src, q_dst_kind, q_dst = [], [], [], []
+    q_body_a, q_body_b, q_mu = [], [], []
+    for (i, j) in aa:
+        for (s, d) in ((int(i), int(j)), (int(j), int(i))):
+            q_src_kind.append(1); q_src.append(s)
+            q_dst_kind.append(1); q_dst.append(d)
+            q_body_a.append(L + s); q_body_b.append(L + d)
+            q_mu.append(0.5 * (scene.actors.friction[s]
+                               + scene.actors.friction[d]))
     la_spans = []
-    if scene.model is not None:
+    base = sum(s.pen.shape[0] for s in sets)
+    for (l, a) in la:
+        l, a = int(l), int(a)
+        mu = 0.5 * (scene.link_friction[l] + scene.actors.friction[a])
+        start = base + len(q_src) * K
+        q_src_kind += [0, 1]; q_src += [l, a]
+        q_dst_kind += [1, 0]; q_dst += [a, l]
+        q_body_a += [l, L + a]; q_body_b += [L + a, l]
+        q_mu += [mu, mu]
+        la_spans.append((start, start + 2 * K))
+
+    if q_src:
         l_pts_w = C.transform_points(
-            kin.link_pos, kin.link_quat, jnp.asarray(scene.link_collision_pts))
-        for (l, a) in np.asarray(scene.la_pairs).reshape(-1, 2):
-            l, a = int(l), int(a)
-            mu = 0.5 * (scene.link_friction[l] + scene.actors.friction[a])
-            start = sum(s.pen.shape[0] for s in sets)
-            pen, nrm, pos = C.points_vs_hull(
-                l_pts_w[l], state.a_pos[a], state.a_quat[a],
-                jnp.asarray(scene.actors.faces[a]))
-            k = pen.shape[0]
-            sets.append(C.ContactSet(
-                pos=pos, normal=nrm, pen=pen,
-                body_a=jnp.full((k,), l, jnp.int32),
-                body_b=jnp.full((k,), L + a, jnp.int32),
-                friction=jnp.full((k,), mu), active=pen > 0))
-            pen, nrm, pos = C.points_vs_hull(
-                a_pts_w[a], kin.link_pos[l], kin.link_quat[l],
-                jnp.asarray(scene.link_faces[l]))
-            sets.append(C.ContactSet(
-                pos=pos, normal=nrm, pen=pen,
-                body_a=jnp.full((k,), L + a, jnp.int32),
-                body_b=jnp.full((k,), l, jnp.int32),
-                friction=jnp.full((k,), mu), active=pen > 0))
-            la_spans.append((start, start + 2 * k))
+            kin.link_pos, kin.link_quat,
+            jnp.asarray(scene.link_collision_pts)) if scene.model is not None \
+            else jnp.zeros((1, K, 3))
+        sk = np.asarray(q_src_kind)
+        src_pts = jnp.where(
+            jnp.asarray(sk)[:, None, None] == 1,
+            a_pts_w[jnp.asarray(np.where(sk == 1, q_src, 0))],
+            l_pts_w[jnp.asarray(np.where(sk == 0, q_src, 0))])
+        dk = np.asarray(q_dst_kind)
+        dst_pos = jnp.where(
+            jnp.asarray(dk)[:, None] == 1,
+            state.a_pos[jnp.asarray(np.where(dk == 1, q_dst, 0))],
+            kin.link_pos[jnp.asarray(np.where(dk == 0, q_dst, 0))]
+            if scene.model is not None else 0.0)
+        dst_quat = jnp.where(
+            jnp.asarray(dk)[:, None] == 1,
+            state.a_quat[jnp.asarray(np.where(dk == 1, q_dst, 0))],
+            kin.link_quat[jnp.asarray(np.where(dk == 0, q_dst, 0))]
+            if scene.model is not None else 0.0)
+        dst_faces = jnp.where(
+            jnp.asarray(dk)[:, None, None] == 1,
+            jnp.asarray(scene.actors.faces)[
+                jnp.asarray(np.where(dk == 1, q_dst, 0))],
+            jnp.asarray(scene.link_faces)[
+                jnp.asarray(np.where(dk == 0, q_dst, 0))]
+            if scene.model is not None else 0.0)
+
+        pen, nrm, pos = jax.vmap(C.points_vs_hull)(
+            src_pts, dst_pos, dst_quat, dst_faces)        # (Q, K, ...)
+        Q = len(q_src)
+        sets.append(C.ContactSet(
+            pos=pos.reshape(-1, 3), normal=nrm.reshape(-1, 3),
+            pen=pen.reshape(-1),
+            body_a=jnp.repeat(jnp.asarray(q_body_a, jnp.int32), K),
+            body_b=jnp.repeat(jnp.asarray(q_body_b, jnp.int32), K),
+            friction=jnp.repeat(jnp.asarray(q_mu, jnp.float32), K),
+            active=pen.reshape(-1) > 0))
+
     if not sets:
         z = jnp.zeros((0,))
         empty = C.ContactSet(pos=jnp.zeros((0, 3)), normal=jnp.zeros((0, 3)),

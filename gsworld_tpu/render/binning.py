@@ -1,18 +1,25 @@
 """Tile binning: depth-ordered per-tile Gaussian lists via duplicate + sort.
 
 TPU adaptation of the CUDA pipeline's duplicate + radix-sort-by-(tile,depth)
-stage (SURVEY.md §7.3 item 1).  Each Gaussian emits up to ``D =
-cfg.max_tiles_per_gaussian`` (tile, gaussian) entries covering its tile rect
-(enumerated row-major, like the CUDA duplication loop); entries are generated
-in global depth order and stably sorted by tile id, which preserves depth
-order within every tile — the exact ordering radix sort produces.  Tile
-segments then come from one searchsorted, and the (num_tiles, K) index table
-from a single scatter.
+stage (SURVEY.md §7.3 item 1).  Pipeline:
 
-Static shapes throughout: rect areas beyond D and per-tile lists beyond K
-are dropped (deepest entries first) and accounted in ``overflow``.
-XLA's TPU sort handles the ~N*D entries in ~10 ms for N=200k, D=16 —
-vs. >1 s for the mask+cumsum formulation this replaces.
+  1. depth argsort over all N gaussians (culled ones carry depth=inf and
+     sink to the end);
+  2. truncate to an *active budget* (frustum culling as static-shape
+     compaction: wrist-camera frames typically see <50% of the scene, so
+     the sort runs on half the entries; overflow is counted);
+  3. each surviving gaussian emits up to D = cfg.max_tiles_per_gaussian
+     (tile, gaussian) entries over its tile rect (row-major, like the CUDA
+     duplication loop), already in depth order;
+  4. ONE stable sort by tile id groups entries per tile while preserving
+     depth order — exactly the ordering the CUDA radix sort produces;
+  5. per-tile segment starts via a two-level searchsorted (a coarse
+     subsampled pass + one windowed gather) — a plain binary search costs
+     ~21 sequential HBM gather rounds, the two-level form 2;
+  6. the (num_tiles, K) index table is a gather from the sorted array
+     (TPU scatters measured ~8x slower than gathers).
+
+Static shapes throughout; every cap (budget, D, K) feeds ``overflow``.
 """
 
 from __future__ import annotations
@@ -29,7 +36,20 @@ from gsworld_tpu.render.project import Projected
 class TileBins(NamedTuple):
     lists: jnp.ndarray     # (num_tiles, K) int32 gaussian indices, -1 padded
     counts: jnp.ndarray    # (num_tiles,) int32 valid entries per tile
-    overflow: jnp.ndarray  # () int32 entries dropped by the K / D caps
+    overflow: jnp.ndarray  # () int32 entries dropped by budget / D / K caps
+
+
+def _two_level_searchsorted(sorted_arr, queries, stride: int = 128):
+    """searchsorted(sorted_arr, queries, side='left') in 2 gather rounds."""
+    m = sorted_arr.shape[0]
+    coarse = sorted_arr[::stride]                      # (m/stride,)
+    hi = jnp.searchsorted(coarse, queries, side="left")  # block index bound
+    base = jnp.maximum(hi - 1, 0) * stride
+    win_idx = base[:, None] + jnp.arange(stride)[None, :]
+    win = sorted_arr[jnp.minimum(win_idx, m - 1)]      # (Q, stride) one gather
+    within = jnp.sum((win < queries[:, None])
+                     & (win_idx < m), axis=1)
+    return jnp.where(hi == 0, 0, base + within)
 
 
 def bin_gaussians(proj: Projected, cfg: RasterConfig) -> TileBins:
@@ -40,39 +60,46 @@ def bin_gaussians(proj: Projected, cfg: RasterConfig) -> TileBins:
     D = cfg.max_tiles_per_gaussian
     T = cfg.num_tiles
     gx = cfg.tiles_x
+    nb = n
+    if cfg.active_budget_frac < 1.0:
+        nb = max(int(n * cfg.active_budget_frac) // 128 * 128, 128)
+        nb = min(nb, n)
 
-    # global depth order (culled entries carry depth=inf and sink to the end)
-    order = jnp.argsort(proj.depth).astype(jnp.int32)          # (N,)
-    rect_s = proj.rect[order]                                  # (N, 4)
+    # global depth order; culled entries (depth=inf) sink to the end, so
+    # truncating to the budget drops invisible gaussians first
+    order = jnp.argsort(proj.depth).astype(jnp.int32)[:nb]   # (nb,)
+    rect_s = proj.rect[order]                                # (nb, 4)
     x0, y0, x1, y1 = (rect_s[:, 0], rect_s[:, 1], rect_s[:, 2], rect_s[:, 3])
     w = x1 - x0
     area = w * (y1 - y0)
 
     # enumerate up to D duplicate slots per gaussian, row-major over the rect
-    d = jnp.arange(D, dtype=jnp.int32)[None, :]                # (1, D)
+    d = jnp.arange(D, dtype=jnp.int32)[None, :]              # (1, D)
     w_safe = jnp.maximum(w, 1)[:, None]
     dx = d % w_safe
     dy = d // w_safe
     dup_valid = d < area[:, None]
-    tile = (y0[:, None] + dy) * gx + (x0[:, None] + dx)        # (N, D)
-    tile = jnp.where(dup_valid, tile, T)                       # sentinel
-    gidx = jnp.broadcast_to(order[:, None], (n, D))
+    tile = (y0[:, None] + dy) * gx + (x0[:, None] + dx)      # (nb, D)
+    tile = jnp.where(dup_valid, tile, T)                     # sentinel
+    gidx = jnp.broadcast_to(order[:, None], (nb, D))
 
     t_s, g_s = jax.lax.sort((tile.reshape(-1), gidx.reshape(-1)),
-                            num_keys=1, is_stable=True)        # (N*D,)
+                            num_keys=1, is_stable=True)      # (nb*D,)
 
-    starts = jnp.searchsorted(t_s, jnp.arange(T + 1, dtype=jnp.int32))
-    counts_full = jnp.diff(starts).astype(jnp.int32)           # (T,)
+    starts = _two_level_searchsorted(
+        t_s, jnp.arange(T + 1, dtype=jnp.int32)).astype(jnp.int32)
+    counts_full = jnp.diff(starts)
 
-    # per-tile entries are contiguous in the sorted array, so the (T, K)
-    # lists come from a gather (TPU scatters are ~8x slower than gathers)
+    # per-tile entries are contiguous in the sorted array -> gather lists
     slot = starts[:T, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
     in_range = slot < starts[1:, None]
-    lists = jnp.where(in_range,
-                      g_s[jnp.minimum(slot, n * D - 1)], -1)
+    lists = jnp.where(in_range, g_s[jnp.minimum(slot, nb * D - 1)], -1)
 
+    # overflow: K cap + D cap + budget cap (visible gaussians beyond budget)
+    n_valid = jnp.sum(proj.radius > 0)
     overflow = (jnp.sum(jnp.maximum(counts_full - K, 0))
                 + jnp.sum(jnp.maximum(area, 0)
-                          - jnp.minimum(jnp.maximum(area, 0), D)))
+                          - jnp.minimum(jnp.maximum(area, 0), D))
+                + jnp.maximum(n_valid - nb, 0))
     return TileBins(lists=lists, counts=jnp.minimum(counts_full, K),
                     overflow=overflow)

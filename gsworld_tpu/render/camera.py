@@ -50,6 +50,7 @@ class RasterConfig:
     tile: int = 16
     max_per_tile: int = 1024        # per-tile gaussian list capacity
     max_tiles_per_gaussian: int = 16  # duplication cap in binning
+    active_budget_frac: float = 1.0   # frustum-cull compaction budget
     sh_degree: int = 3
     znear_cull: float = GS_NEAR_CULL
     znear: float = DEFAULT_ZNEAR

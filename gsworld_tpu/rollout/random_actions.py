@@ -25,7 +25,8 @@ import jax.numpy as jnp
 def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
           control_freq: int, width: int, height: int, max_per_tile: int,
           tile_chunk: int, synthetic_scale: float = 1.0,
-          obs_mode: str = "rgb", max_tiles_per_gaussian: int = 16):
+          obs_mode: str = "rgb", max_tiles_per_gaussian: int = 16,
+          active_budget_frac: float = 1.0):
     import dataclasses
 
     from gsworld_tpu import envs
@@ -46,6 +47,7 @@ def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
         raster_config=RasterConfig(width=width, height=height,
                                    max_per_tile=max_per_tile,
                                    max_tiles_per_gaussian=max_tiles_per_gaussian,
+                                   active_budget_frac=active_budget_frac,
                                    tile_chunk=tile_chunk),
         synthetic_sizes=sizes)
     return env, wrapper
@@ -74,10 +76,17 @@ def rollout_fps(wrapper, ep_len: int, seed: int = 0, warmup: int = 2,
         keys = jax.random.split(key, ep_len)
         (state,), (sums, frames) = scan_fn(env.state, keys)  # compile
         jax.block_until_ready(sums)
-        t0 = time.perf_counter()
-        (state,), (sums, frames) = scan_fn(env.state, keys)
-        jax.block_until_ready(sums)
-        dt = time.perf_counter() - t0
+        # time with fresh inputs each call (identical repeated inputs can be
+        # served from backend-side result caches); best-of-3
+        best = np.inf
+        st = state
+        for rep in range(3):
+            ks = jax.random.split(jax.random.fold_in(key, 100 + rep), ep_len)
+            t0 = time.perf_counter()
+            (st,), (sums, frames) = scan_fn(st, ks)
+            jax.block_until_ready(sums)
+            best = min(best, time.perf_counter() - t0)
+        dt = best
         return ep_len * env.num_envs / dt, dt / ep_len, frames
 
     # eager loop (host in the loop, like the reference's python loop)
