@@ -21,6 +21,29 @@ C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
       -0.5900435899266435)
 
 
+def sh_basis(dirs, degree: int = 3):
+    """(..., 15) SH basis values (degrees 1..3) for unit directions."""
+    x = dirs[..., 0]
+    y = dirs[..., 1]
+    z = dirs[..., 2]
+    zero = jnp.zeros_like(x)
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    b = [
+        -C1 * y, C1 * z, -C1 * x,
+        C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+        C2[3] * xz, C2[4] * (xx - yy),
+        C3[0] * y * (3.0 * xx - yy), C3[1] * xy * z,
+        C3[2] * y * (4.0 * zz - xx - yy),
+        C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+        C3[4] * x * (4.0 * zz - xx - yy),
+        C3[5] * z * (xx - yy), C3[6] * x * (xx - 3.0 * yy),
+    ]
+    n_active = {0: 0, 1: 3, 2: 8, 3: 15}[degree]
+    b = b[:n_active] + [zero] * (15 - n_active)
+    return jnp.stack(b, axis=-1)
+
+
 def eval_sh(sh0, shN, dirs, degree: int = 3):
     """Evaluate SH color.
 
@@ -32,32 +55,14 @@ def eval_sh(sh0, shN, dirs, degree: int = 3):
       degree: active SH degree (0..3).
 
     Returns (..., 3) linear RGB, clamped to >= 0.
+
+    The per-gaussian basis is built once (..., 15) and contracted against
+    the reshaped coefficients in one fused multiply-reduce (the per-
+    coefficient slicing form emitted ~45 strided-slice kernels).
     """
     result = C0 * sh0
     if degree >= 1:
         sh = shN.reshape(shN.shape[:-1] + (3, 15))
-        x = dirs[..., 0:1]
-        y = dirs[..., 1:2]
-        z = dirs[..., 2:3]
-        # coefficients are indexed [..., ch, coeff]; slice per coeff -> (..., 3)
-        c = lambda i: sh[..., :, i]
-        result = result - C1 * y * c(0) + C1 * z * c(1) - C1 * x * c(2)
-        if degree >= 2:
-            xx, yy, zz = x * x, y * y, z * z
-            xy, yz, xz = x * y, y * z, x * z
-            result = (result
-                      + C2[0] * xy * c(3)
-                      + C2[1] * yz * c(4)
-                      + C2[2] * (2.0 * zz - xx - yy) * c(5)
-                      + C2[3] * xz * c(6)
-                      + C2[4] * (xx - yy) * c(7))
-            if degree >= 3:
-                result = (result
-                          + C3[0] * y * (3.0 * xx - yy) * c(8)
-                          + C3[1] * xy * z * c(9)
-                          + C3[2] * y * (4.0 * zz - xx - yy) * c(10)
-                          + C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * c(11)
-                          + C3[4] * x * (4.0 * zz - xx - yy) * c(12)
-                          + C3[5] * z * (xx - yy) * c(13)
-                          + C3[6] * x * (xx - 3.0 * yy) * c(14))
+        basis = sh_basis(dirs, degree)                    # (..., 15)
+        result = result + jnp.sum(basis[..., None, :] * sh, axis=-1)
     return jnp.maximum(result + 0.5, 0.0)
