@@ -42,6 +42,25 @@ SAPIEN2OPENCV = np.array([
 ], dtype=np.float32)
 
 
+def look_at_sapien(eye, target, up=(0, 0, 1)) -> np.ndarray:
+    """Camera pose (4x4, SAPIEN convention: forward=+x, left=+y, up=+z)
+    looking from eye at target (gsworld_sapien_utils.py:346-392)."""
+    eye = np.asarray(eye, np.float64)
+    forward = np.asarray(target, np.float64) - eye
+    forward /= np.linalg.norm(forward)
+    up = np.asarray(up, np.float64)
+    up = up / np.linalg.norm(up)
+    left = np.cross(up, forward)
+    left /= np.linalg.norm(left)
+    up = np.cross(forward, left)
+    T = np.eye(4)
+    T[:3, 0] = forward
+    T[:3, 1] = left
+    T[:3, 2] = up
+    T[:3, 3] = eye
+    return T
+
+
 def calib_mat2sapien_trans_mat(calib_mat: np.ndarray) -> np.ndarray:
     """OpenCV camera-axes matrix -> SAPIEN camera pose: columns
     (x, y, z) -> (z, -x, -y) (gsworld_sapien_utils.py:302-312)."""
@@ -124,6 +143,8 @@ class GsBaseEnv:
                             enumerate(self.scene.actors.names)}
         self._la_pairs = np.asarray(self.scene.la_pairs).reshape(-1, 2)
         self.cameras: List[CameraSpec] = list(self._default_sensor_configs())
+        self.human_render_cameras: List[CameraSpec] = list(
+            self._default_human_render_camera_configs())
 
         self._jit_reset = jax.jit(self._reset_fn)
         self._jit_step = jax.jit(self._step_fn)
@@ -158,6 +179,13 @@ class GsBaseEnv:
 
     def _default_sensor_configs(self) -> Sequence[CameraSpec]:
         return ()
+
+    def _default_human_render_camera_configs(self) -> Sequence[CameraSpec]:
+        """Third-person view for videos (reference: real_fr3_env.py:61-68)."""
+        return [CameraSpec(
+            "render_camera", 640, 480, constants.rs_d435i_rgb_k,
+            mount_link=None,
+            local_pose=look_at_sapien([1.0, 0.2, 0.5], [0.0, 0.0, 0.15]))]
 
     # ------------------------------------------------------------------ #
     # helpers available to hooks through `data`
@@ -214,8 +242,13 @@ class GsBaseEnv:
             self.agent.model, world.qpos, world.root_pos, world.root_quat)
         return {"world": world, "link_pos": link_pos, "link_quat": link_quat}
 
+    def _randomize_world(self, world: WorldState, task, key):
+        """Per-episode domain randomization hook (friction, camera noise,
+        ...); returns (world, task)."""
+        return world, task
+
     def _single_reset(self, key):
-        init_key, run_key = jax.random.split(key)
+        init_key, dr_key, run_key = jax.random.split(key, 3)
         ep = self._initialize_episode(init_key)
         A = self.scene.actors.num
         n_la = max(len(self._la_pairs), 1)
@@ -226,8 +259,10 @@ class GsBaseEnv:
             a_pos=ep.a_pos, a_quat=ep.a_quat,
             a_lin=jnp.zeros((A, 3)), a_ang=jnp.zeros((A, 3)),
             la_forces=jnp.zeros((n_la, 3)),
-            contact_lam=jnp.zeros((contact_row_count(self.scene), 3)))
-        return world, run_key, ep.qpos, ep.task
+            contact_lam=jnp.zeros((contact_row_count(self.scene), 3)),
+            a_friction=jnp.asarray(self.scene.actors.friction))
+        world, task = self._randomize_world(world, ep.task, dr_key)
+        return world, run_key, ep.qpos, task
 
     def _reset_fn(self, keys):
         world, run_keys, q0, task = jax.vmap(self._single_reset)(keys)
@@ -304,14 +339,15 @@ class GsBaseEnv:
     # cameras
     # ------------------------------------------------------------------ #
 
-    def camera_extrinsics_cv(self, state: EnvState):
+    def camera_extrinsics_cv(self, state: EnvState, cameras=None):
         """(B, n_cams, 4, 4) OpenCV world->cam extrinsics from FK."""
+        cameras = self.cameras if cameras is None else cameras
         link_pos, link_quat = jax.vmap(
             lambda w: forward_kinematics(self.agent.model, w.qpos,
                                          w.root_pos, w.root_quat))(state.world)
         outs = []
         s2cv = jnp.asarray(SAPIEN2OPENCV)
-        for cam in self.cameras:
+        for cam in cameras:
             local = jnp.asarray(cam.local_pose, jnp.float32)
             if cam.mount_link is None:
                 pose = jnp.broadcast_to(local, (self.num_envs, 4, 4))
@@ -319,6 +355,13 @@ class GsBaseEnv:
                 li = self.agent.model.link_id(cam.mount_link)
                 T_link = tf_from_pq(link_pos[:, li], link_quat[:, li])
                 pose = T_link @ local
+            noise = (state.task or {}).get("cam_pose_noise")
+            if noise is not None and cameras is self.cameras:
+                from gsworld_tpu.core.maths import axis_angle_to_quat
+                ci = min(len(outs), noise.shape[1] - 1)
+                dT = tf_from_pq(noise[:, ci, :3],
+                                axis_angle_to_quat(noise[:, ci, 3:6]))
+                pose = pose @ dT
             outs.append(s2cv @ tf_inverse_rigid(pose))
         return jnp.stack(outs, axis=1)
 

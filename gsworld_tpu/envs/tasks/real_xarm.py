@@ -62,6 +62,39 @@ class RealXArm6(GsBaseEnv):
                        mount_link=self.agent.base_link, local_pose=right_pose),
         ]
 
+    def _randomize_world(self, world, task, key):
+        """Apply the DR config (real_xarm_env.py:163-183, 185-230): per-env
+        object friction noise + per-episode camera pose noise."""
+        if not self.domain_randomization:
+            return world, task
+        import jax
+        import jax.numpy as jnp
+        cfg = self.domain_randomization_config
+        k1, k2, k3 = jax.random.split(key, 3)
+        A = self.scene.actors.num
+        fric = jnp.clip(
+            cfg.obj_friction_mean
+            + cfg.obj_friction_std * jax.random.normal(k1, (A,)),
+            *cfg.obj_friction_bounds)
+        world = world.replace(a_friction=fric)
+        n_cams = len(self.cameras)
+        off = jnp.asarray(cfg.max_camera_offset)
+        pos_noise = jax.random.uniform(k2, (n_cams, 3), minval=-1.0,
+                                       maxval=1.0) * off
+        rot_noise = (cfg.camera_view_rot_noise
+                     * jax.random.normal(k3, (n_cams, 3)))
+        task = dict(task)
+        task["cam_pose_noise"] = jnp.concatenate([pos_noise, rot_noise],
+                                                 axis=-1)
+        return world, task
+
+    def _default_human_render_camera_configs(self):
+        from gsworld_tpu.envs.base import look_at_sapien
+        return [CameraSpec(
+            "render_camera", 640, 480, constants.rs_d435i_rgb_k,
+            mount_link=None,
+            local_pose=look_at_sapien([1.7, 1.0, 0.7], [0.0, 0.0, 0.15]))]
+
     def _initialize_episode(self, key):
         from gsworld_tpu.envs.base import EpisodeInit
         import jax.numpy as jnp

@@ -117,6 +117,9 @@ class WorldState:
     la_forces: jnp.ndarray # (n_la, 3) world force of actor on link
     # warm-start impulses for the contact solver (static row layout)
     contact_lam: jnp.ndarray = None  # (C, 3)
+    # per-env actor friction (domain randomization; defaults to the static
+    # scene values, real_xarm_env.py:163-183)
+    a_friction: jnp.ndarray = None   # (A,)
 
 
 # ---------------------------------------------------------------------- #
@@ -135,6 +138,8 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
     K = scene.actors.sup_pts.shape[1] if A else 0
     sets: List[C.ContactSet] = []
 
+    a_fric = (state.a_friction if state.a_friction is not None
+              else jnp.asarray(scene.actors.friction))
     a_pts_w = C.transform_points(state.a_pos, state.a_quat,
                                  jnp.asarray(scene.actors.sup_pts))
 
@@ -155,8 +160,7 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
         pos = jnp.broadcast_to(a_pts_w[None], (P, A, K, 3))
         body_a = jnp.broadcast_to(
             (L + jnp.arange(A, dtype=jnp.int32))[None, :, None], (P, A, K))
-        fric = jnp.broadcast_to(
-            jnp.asarray(scene.actors.friction)[None, :, None], (P, A, K))
+        fric = jnp.broadcast_to(a_fric[None, :, None], (P, A, K))
         sets.append(C.ContactSet(
             pos=pos.reshape(-1, 3), normal=nrm.reshape(-1, 3),
             pen=pen.reshape(-1), body_a=body_a.reshape(-1),
@@ -168,23 +172,23 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
     la = np.asarray(scene.la_pairs).reshape(-1, 2)
     q_src_kind, q_src, q_dst_kind, q_dst = [], [], [], []
     q_body_a, q_body_b, q_mu = [], [], []
+    q_mu_dyn = []   # traced per-query friction
     for (i, j) in aa:
         for (s, d) in ((int(i), int(j)), (int(j), int(i))):
             q_src_kind.append(1); q_src.append(s)
             q_dst_kind.append(1); q_dst.append(d)
             q_body_a.append(L + s); q_body_b.append(L + d)
-            q_mu.append(0.5 * (scene.actors.friction[s]
-                               + scene.actors.friction[d]))
+            q_mu_dyn.append(0.5 * (a_fric[s] + a_fric[d]))
     la_spans = []
     base = sum(s.pen.shape[0] for s in sets)
     for (l, a) in la:
         l, a = int(l), int(a)
-        mu = 0.5 * (scene.link_friction[l] + scene.actors.friction[a])
+        mu = 0.5 * (scene.link_friction[l] + a_fric[a])
         start = base + len(q_src) * K
         q_src_kind += [0, 1]; q_src += [l, a]
         q_dst_kind += [1, 0]; q_dst += [a, l]
         q_body_a += [l, L + a]; q_body_b += [L + a, l]
-        q_mu += [mu, mu]
+        q_mu_dyn += [mu, mu]
         la_spans.append((start, start + 2 * K))
 
     if q_src:
@@ -224,7 +228,7 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
             pen=pen.reshape(-1),
             body_a=jnp.repeat(jnp.asarray(q_body_a, jnp.int32), K),
             body_b=jnp.repeat(jnp.asarray(q_body_b, jnp.int32), K),
-            friction=jnp.repeat(jnp.asarray(q_mu, jnp.float32), K),
+            friction=jnp.repeat(jnp.stack(q_mu_dyn), K),
             active=pen.reshape(-1) > 0))
 
     if not sets:
@@ -465,7 +469,7 @@ def physics_substep(scene: PhysicsScene, state: WorldState, q_target,
     return WorldState(qpos=qpos, qvel=qvel, root_pos=state.root_pos,
                       root_quat=state.root_quat, a_pos=a_pos, a_quat=a_quat,
                       a_lin=a_lin, a_ang=a_ang, la_forces=la_forces,
-                      contact_lam=lam)
+                      contact_lam=lam, a_friction=state.a_friction)
 
 
 def control_step(scene: PhysicsScene, state: WorldState,

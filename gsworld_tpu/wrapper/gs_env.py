@@ -159,8 +159,9 @@ class GSWorldWrapper:
         return SlotTransforms(R=R, t=t, scale=s,
                               apply_scale=jnp.asarray(self.layout.scaled))
 
-    def _render_fn(self, state):
+    def _render_fn(self, state, cameras=None):
         env = self.env
+        cams = env.cameras if cameras is None else cameras
         model = env.agent.model
         w = state.world
 
@@ -183,7 +184,7 @@ class GSWorldWrapper:
         def render_env(args):
             posed_e, ext_e = args
             outs, segs = [], []
-            for ci, cam in enumerate(env.cameras):
+            for ci, cam in enumerate(cams):
                 gs_cam = cam_maniskill2gs(
                     ext_e[ci], jnp.asarray(cam.intrinsic), cam.width,
                     cam.height, jnp.asarray(self.rigid_sim2real),
@@ -207,10 +208,10 @@ class GSWorldWrapper:
             imgs, segs = jax.lax.map(render_env, (posed, ext))
             return {cam.name: {"rgb": imgs[:, ci],
                                "segmentation": segs[:, ci, :, :, None]}
-                    for ci, cam in enumerate(env.cameras)}
+                    for ci, cam in enumerate(cams)}
         imgs = jax.lax.map(render_env, (posed, ext))          # (B, C, H, W, 3)
         return {cam.name: {"rgb": imgs[:, ci]}
-                for ci, cam in enumerate(env.cameras)}
+                for ci, cam in enumerate(cams)}
 
     def _step_and_render(self, state, action):
         state, obs, reward, terminated, truncated, info = self.env._step_fn(
@@ -247,6 +248,17 @@ class GSWorldWrapper:
     def render_current_step(self):
         """Render without stepping (gs_world_wrapper.py:204-230)."""
         return self._jit_render(self.env._state)
+
+    def render(self):
+        """Human render view (GS render of the third-person camera;
+        reference GSWorldWrapper.render returns the raster human view,
+        gs_world_wrapper.py:200-202)."""
+        if not hasattr(self, "_jit_render_human"):
+            cams = self.env.human_render_cameras
+            self._jit_render_human = jax.jit(
+                lambda s: self._render_fn(s, cameras=cams))
+        out = self._jit_render_human(self.env._state)
+        return next(iter(out.values()))["rgb"]
 
     def __getattr__(self, name):
         return getattr(self.env, name)
