@@ -171,7 +171,7 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
     aa = np.asarray(scene.aa_pairs).reshape(-1, 2)
     la = np.asarray(scene.la_pairs).reshape(-1, 2)
     q_src_kind, q_src, q_dst_kind, q_dst = [], [], [], []
-    q_body_a, q_body_b, q_mu = [], [], []
+    q_body_a, q_body_b = [], []
     q_mu_dyn = []   # traced per-query friction
     for (i, j) in aa:
         for (s, d) in ((int(i), int(j)), (int(j), int(i))):

@@ -17,9 +17,9 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from gsworld_tpu.core.maths import _einsum, quat_normalize, quat_to_matrix
+from gsworld_tpu.core.maths import quat_normalize
 from gsworld_tpu.gs.transform import PosedGaussians
-from gsworld_tpu.render.camera import GSCamera, RasterConfig, projection_matrix
+from gsworld_tpu.render.camera import GSCamera, RasterConfig
 from gsworld_tpu.render.sh import eval_sh
 
 

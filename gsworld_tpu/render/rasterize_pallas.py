@@ -1,15 +1,18 @@
 """Pallas tile-compositing kernel — the hot path of the rasterizer.
 
 Replaces the XLA composite (rasterize.py) which is memory-bound: every
-intermediate (power/alpha/prefix arrays per tile) round-trips HBM.  Here each
-16x16 tile is one pallas program step; all per-chunk work lives in VMEM.
+intermediate (power/alpha/prefix arrays per tile) round-trips HBM.  Each
+grid step composites ``tiles_per_program`` 16x16 tiles entirely in VMEM.
 
 Data flow per frame:
-  * projection packs one (N, 16) per-gaussian record table (pack_records);
-  * ONE row-gather materializes the (T, K) tile lists as (T, 16, K) records
-    (gathers dominate cost on this hardware — everything rides one gather);
-  * the kernel computes alpha elementwise (dx/dy in f32, no precision
-    hazard), prefix transmittance via log-space cumulative sums as a single
+  * projection packs ONE (N, 8) f32 per-gaussian record table:
+    [mx, my, A, B, C, opacity, rgb10(bitcast), pad] — RGB is 3x10-bit fixed
+    point in one lane (<=0.4% color error), and validity folds into
+    opacity=0 (alpha < 1/255 never contributes), so the record stays 32 B;
+  * ONE row-gather materializes the (T, K) tile lists as (T, 8, K) records
+    (gathers + relayouts dominate cost on this hardware);
+  * the kernel computes alpha elementwise (dx/dy in f32), prefix
+    transmittance via log-space cumulative sums as a single
     (n_px, C) @ triu_ones (C, C) MXU matmul (a log-depth scan in one op),
     the done-mask cumulative-or with the same trick, and color accumulation
     as w (n_px, C) @ rgb (C, 3).
@@ -19,9 +22,9 @@ pixel saturates (T < 1e-4), are skipped via scalar predication — the
 data-dependent sparsity the CUDA kernel gets from its per-tile loop
 (SURVEY.md §7.3 item 1), unavailable to plain vmapped XLA.
 
-Exact reference semantics preserved (power>0 skip, alpha<1/255 skip,
-terminate before the gaussian that crosses T<1e-4); the log-space prefix
-introduces only ~1e-6 relative error (tested vs. the XLA path / golden).
+Reference semantics preserved (power>0 skip, alpha<1/255 skip, terminate
+before the gaussian that crosses T<1e-4); tested against the XLA path and
+the literal golden implementation.
 """
 
 from __future__ import annotations
@@ -41,29 +44,33 @@ ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 ALPHA_MAX = 0.99
 CHUNK = 128
-REC_W = 16  # packed record width
+REC_W = 8   # f32 record width
+COLOR_MAX = 4.0
+_Q = 1023.0
 
-# record rows: 0 A, 1 B, 2 C (conic), 3 mx, 4 my, 5 opacity,
-#              6 r, 7 g, 8 b, 9 valid, 10..15 pad
+# record rows: 0 mx, 1 my, 2 A, 3 B, 4 C (conic), 5 opacity,
+#              6 rgb 3x10-bit (bitcast uint32), 7 pad
 
 
 def pack_records(proj: Projected) -> jnp.ndarray:
-    """(N, 16) per-gaussian record table (computed densely, no gather)."""
+    """(N, 8) f32 per-gaussian record table (computed densely, no gather)."""
     n = proj.depth.shape[0]
-    valid = (proj.radius > 0).astype(jnp.float32)
-    pad = jnp.zeros((n, REC_W - 10), jnp.float32)
-    return jnp.concatenate([
-        proj.conic,                      # A, B, C
-        proj.mean2d,                     # mx, my
-        proj.opacity[:, None],
-        proj.color,                      # r, g, b
-        valid[:, None],
-        pad,
+    valid = proj.radius > 0
+    c = jnp.clip(proj.color / COLOR_MAX, 0.0, 1.0)
+    q = jnp.round(c * _Q).astype(jnp.uint32)
+    rgb_bits = q[:, 0] | (q[:, 1] << 10) | (q[:, 2] << 20)
+    opac = jnp.where(valid, proj.opacity, 0.0)
+    return jnp.stack([
+        proj.mean2d[:, 0], proj.mean2d[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        opac,
+        jax.lax.bitcast_convert_type(rgb_bits, jnp.float32),
+        jnp.zeros((n,), jnp.float32),
     ], axis=1)
 
 
-def _composite_kernel(counts_ref, recs_ref, out_ref, *, cfg: RasterConfig,
-                      n_px: int, tiles_per_program: int):
+def _composite_kernel(counts_ref, recs_ref, out_ref, *,
+                      cfg: RasterConfig, n_px: int, tiles_per_program: int):
     tile = cfg.tile
     gx = cfg.tiles_x
     K = cfg.max_per_tile
@@ -86,17 +93,13 @@ def _composite_kernel(counts_ref, recs_ref, out_ref, *, cfg: RasterConfig,
         oy = ((t // gx) * tile).astype(jnp.float32)
 
         def body(c, rgb_acc, logT, done_px):
-            G = recs_ref[ti, :, pl.ds(c * CHUNK, CHUNK)]   # (16, CHUNK)
-            A, B, C = G[0:1, :], G[1:2, :], G[2:3, :]
-            # tile-local gaussian center; all f32 exact (values ~O(1e3) max)
-            mx = (G[3:4, :] - ox)
-            my = (G[4:5, :] - oy)
-            dx = mx - x_loc                                # (n_px, CHUNK)
-            dy = my - y_loc
+            G = recs_ref[ti, :, pl.ds(c * CHUNK, CHUNK)]   # (8, CHUNK) f32
+            A, B, C = G[2:3, :], G[3:4, :], G[4:5, :]
+            dx = (G[0:1, :] - ox) - x_loc                  # (n_px, CHUNK)
+            dy = (G[1:2, :] - oy) - y_loc
             power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
             alpha = jnp.minimum(ALPHA_MAX, G[5:6, :] * jnp.exp(power))
-            contrib = ((G[9:10, :] > 0.5) & (power <= 0.0)
-                       & (alpha >= ALPHA_MIN))
+            contrib = (power <= 0.0) & (alpha >= ALPHA_MIN)
             a = jnp.where(contrib, alpha, 0.0)
             X = jnp.log1p(-a)
             incl = jnp.dot(X, triu, preferred_element_type=jnp.float32,
@@ -108,9 +111,20 @@ def _composite_kernel(counts_ref, recs_ref, out_ref, *, cfg: RasterConfig,
                             precision=jax.lax.Precision.HIGHEST)
                     + done_px) > 0.5                       # cum-or + carry
             live = 1.0 - done.astype(jnp.float32)
-            w = a * jnp.exp(incl - X + logT) * live
+            w = a * jnp.exp(incl - X + logT) * live        # (n_px, CHUNK)
+            # decode 3x10-bit colors -> (3, CHUNK)
+            bits = pltpu.bitcast(G[6:7, :], jnp.uint32)
+            scale = COLOR_MAX / _Q
+            # Mosaic has no uint32->f32 cast; the 10-bit fields fit int32
+            col = jnp.concatenate([
+                (bits & 0x3FF).astype(jnp.int32).astype(jnp.float32) * scale,
+                ((bits >> 10) & 0x3FF).astype(jnp.int32).astype(jnp.float32)
+                * scale,
+                ((bits >> 20) & 0x3FF).astype(jnp.int32).astype(jnp.float32)
+                * scale,
+            ], axis=0)                                     # (3, CHUNK)
             rgb = jax.lax.dot_general(
-                w, G[6:9, :], (((1,), (1,)), ((), ())),
+                w, col, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             logT = logT + jnp.sum(X * live, axis=1, keepdims=True)
@@ -157,13 +171,13 @@ def composite_tiles_pallas(proj: Projected, bins: TileBins,
         tiles_per_program //= 2
     tpb = max(tiles_per_program, 1)
 
-    packed = pack_records(proj)                        # (N, 16)
+    packed = pack_records(proj)                            # (N, 8) f32
     safe = jnp.maximum(bins.lists, 0)
-    recs = packed[safe]                                # ONE gather (T, K, 16)
-    # kill padding slots' valid flag, then lay out (T, 16, K) for the kernel
-    recs = recs.at[:, :, 9].multiply(
+    recs = packed[safe]                                    # ONE gather
+    # padding slots (-1) must never contribute: zero their opacity
+    recs = recs.at[:, :, 5].multiply(
         (bins.lists >= 0).astype(jnp.float32))
-    recs = recs.transpose(0, 2, 1)                     # (T, 16, K)
+    recs = recs.transpose(0, 2, 1)                         # (T, 8, K)
     counts = bins.counts.astype(jnp.int32)
 
     out = pl.pallas_call(

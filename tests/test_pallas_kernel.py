@@ -40,7 +40,11 @@ class TestPallasParity:
         proj, bins, cfg = _setup()
         ix, tx = composite_tiles(proj, bins, cfg)
         ip, tp = composite_tiles_pallas(proj, bins, cfg, interpret=True)
-        np.testing.assert_allclose(np.asarray(ip), np.asarray(ix), atol=2e-4)
+        # colors ride a 10-bit fixed-point encoding (<=0.4% error): compare
+        # by PSNR, and transmittance (no quantization) tightly
+        mse = float(np.mean((np.asarray(ip) - np.asarray(ix)) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 50.0, f"PSNR vs XLA path {psnr:.1f} dB"
         np.testing.assert_allclose(np.asarray(tp), np.asarray(tx), atol=2e-4)
 
     def test_background_and_empty_tiles(self):
@@ -49,7 +53,8 @@ class TestPallasParity:
                            tile_chunk=4, bg=(0.9, 0.1, 0.3))
         ix, _ = composite_tiles(proj, bins, cfg)
         ip, _ = composite_tiles_pallas(proj, bins, cfg, interpret=True)
-        np.testing.assert_allclose(np.asarray(ip), np.asarray(ix), atol=2e-4)
+        mse = float(np.mean((np.asarray(ip) - np.asarray(ix)) ** 2))
+        assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 50.0
 
     def test_tiles_per_program_variants(self):
         proj, bins, cfg = _setup(n=200, seed=3)
