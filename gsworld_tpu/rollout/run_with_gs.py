@@ -100,6 +100,25 @@ def collect(env_id: str = "AlignFr3Env-v1", cfg_name: str = "fr3_align",
     return stats
 
 
+class GaussianPlanningRunner:
+    """Config-dict driven demo-collection runner (reference analog:
+    motionplanning/gaussian_planning_runner.py:8-131)."""
+
+    DEFAULTS = dict(env_id="AlignFr3Env-v1", cfg_name="fr3_align",
+                    num_traj=5, only_count_success=True,
+                    output_dir="./demos", save_video=False,
+                    sim_freq=100, control_freq=20, seed0=0,
+                    render_gs=True)
+
+    def __init__(self, config: Optional[dict] = None):
+        self.config = dict(self.DEFAULTS)
+        if config:
+            self.config.update(config)
+
+    def run(self):
+        return collect(**self.config)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--env_id", "-e", default="AlignFr3Env-v1")

@@ -56,8 +56,16 @@ class GSWorldWrapper:
                  raster_config: Optional[RasterConfig] = None,
                  asset_dir: Optional[str] = None,
                  cfg_dir: Optional[str] = None,
-                 synthetic_sizes: Optional[dict] = None):
+                 synthetic_sizes: Optional[dict] = None,
+                 log_state: bool = False,
+                 state_log_path: str = "./exp_log"):
         self.env = env
+        # episode-state logging for recovery (gs_world_wrapper.py:40-41,49;
+        # the reference stores the intent but never wires the save — here
+        # save_state_log() actually persists restorable bundles)
+        self.log_state = log_state
+        self.state_log_path = state_log_path
+        self._state_log_count = 0
         self.num_envs = env.num_envs
         self.scene_gs_cfg_name = scene_gs_cfg_name
         model = env.agent.model
@@ -243,7 +251,18 @@ class GSWorldWrapper:
                                       (self.num_envs,) + action.shape)
         (self.env._state, obs, reward, terminated, truncated,
          info) = self._jit_step(self.env._state, action)
+        if self.log_state:
+            self.save_state_log()
         return obs, reward, terminated, truncated, info
+
+    def save_state_log(self):
+        """Persist the current env state as a restorable bundle
+        (the reference's commented env.save_state_log(),
+        gsworld_rand_action_tabletop.py:134)."""
+        from gsworld_tpu.utils.checkpoint import save_env_state
+        path = f"{self.state_log_path}/state_{self._state_log_count:06d}.npz"
+        self._state_log_count += 1
+        return save_env_state(self.env._state, path)
 
     def render_current_step(self):
         """Render without stepping (gs_world_wrapper.py:204-230)."""
