@@ -69,7 +69,7 @@ def pack_records(proj: Projected) -> jnp.ndarray:
     ], axis=1)
 
 
-def _composite_kernel(counts_ref, recs_ref, out_ref, *,
+def _composite_kernel(recs_ref, out_ref, *,
                       cfg: RasterConfig, n_px: int, tiles_per_program: int):
     tile = cfg.tile
     gx = cfg.tiles_x
@@ -84,16 +84,16 @@ def _composite_kernel(counts_ref, recs_ref, out_ref, *,
             <= jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
             ).astype(jnp.float32)
 
-    pid = pl.program_id(0)
+    pid = pl.program_id(1)
 
     def one_tile(ti, _):
         t = pid * tiles_per_program + ti
-        count = counts_ref[t]
+        count = recs_ref[0, ti, 7, 0].astype(jnp.int32)
         ox = ((t % gx) * tile).astype(jnp.float32)
         oy = ((t // gx) * tile).astype(jnp.float32)
 
         def body(c, rgb_acc, logT, done_px):
-            G = recs_ref[ti, :, pl.ds(c * CHUNK, CHUNK)]   # (8, CHUNK) f32
+            G = recs_ref[0, ti, :, pl.ds(c * CHUNK, CHUNK)]  # (8, CHUNK)
             A, B, C = G[2:3, :], G[3:4, :], G[4:5, :]
             dx = (G[0:1, :] - ox) - x_loc                  # (n_px, CHUNK)
             dy = (G[1:2, :] - oy) - y_loc
@@ -153,16 +153,35 @@ def _composite_kernel(counts_ref, recs_ref, out_ref, *,
         b0, b1, b2 = (float(v) for v in cfg.bg)
         rgb = rgb_acc + jnp.concatenate(
             [T_fin * b0, T_fin * b1, T_fin * b2], axis=1)
-        out_ref[ti, :, :] = jnp.concatenate([rgb, T_fin], axis=1).T
+        out_ref[0, ti, :, :] = jnp.concatenate([rgb, T_fin], axis=1).T
         return 0
 
     jax.lax.fori_loop(0, tiles_per_program, one_tile, 0)
 
 
+def _prep_records(proj: Projected, bins: TileBins):
+    """(T, 8, K) records with the per-tile count embedded at row 7, col 0
+    (avoids SMEM count tables, which don't tile under batched grids)."""
+    packed = pack_records(proj)                            # (N, 8) f32
+    safe = jnp.maximum(bins.lists, 0)
+    recs = packed[safe]                                    # ONE gather
+    # padding slots (-1) must never contribute: zero their opacity
+    recs = recs.at[:, :, 5].multiply(
+        (bins.lists >= 0).astype(jnp.float32))
+    recs = recs.transpose(0, 2, 1)                         # (T, 8, K)
+    recs = recs.at[:, 7, 0].set(bins.counts.astype(jnp.float32))
+    return recs
+
+
 def composite_tiles_pallas(proj: Projected, bins: TileBins,
                            cfg: RasterConfig, interpret: bool = False,
                            tiles_per_program: int = 4):
-    """Blend per-tile lists into ((H, W, 3) image, (H, W) transmittance)."""
+    """Blend per-tile lists into ((H, W, 3) image, (H, W) transmittance).
+
+    ``proj``/``bins`` may carry one leading frame axis (batched envs x
+    cameras): all frames run in ONE pallas grid (axis 0 = frame), so
+    multi-env rendering has no per-frame program boundaries.
+    """
     T = cfg.num_tiles
     K = cfg.max_per_tile
     assert K % CHUNK == 0, "max_per_tile must be a multiple of 128"
@@ -171,32 +190,33 @@ def composite_tiles_pallas(proj: Projected, bins: TileBins,
         tiles_per_program //= 2
     tpb = max(tiles_per_program, 1)
 
-    packed = pack_records(proj)                            # (N, 8) f32
-    safe = jnp.maximum(bins.lists, 0)
-    recs = packed[safe]                                    # ONE gather
-    # padding slots (-1) must never contribute: zero their opacity
-    recs = recs.at[:, :, 5].multiply(
-        (bins.lists >= 0).astype(jnp.float32))
-    recs = recs.transpose(0, 2, 1)                         # (T, 8, K)
-    counts = bins.counts.astype(jnp.int32)
+    batched = proj.depth.ndim == 2
+    if batched:
+        recs = jax.vmap(_prep_records)(proj, bins)         # (F, T, 8, K)
+    else:
+        recs = _prep_records(proj, bins)[None]             # (1, T, 8, K)
+    F = recs.shape[0]
 
     out = pl.pallas_call(
         functools.partial(_composite_kernel, cfg=cfg, n_px=n_px,
                           tiles_per_program=tpb),
-        grid=(T // tpb,),
+        grid=(F, T // tpb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # full counts in SMEM
-            pl.BlockSpec((tpb, REC_W, K), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, tpb, REC_W, K), lambda f, t: (f, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tpb, 4, n_px), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, tpb, 4, n_px), lambda f, t: (f, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, 4, n_px), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, T, 4, n_px), jnp.float32),
         interpret=interpret,
-    )(counts, recs)
+    )(recs)
 
     gy, gx, t = cfg.tiles_y, cfg.tiles_x, cfg.tile
-    out = out.reshape(gy, gx, 4, t, t)
-    img = out[:, :, :3].transpose(0, 3, 1, 4, 2).reshape(gy * t, gx * t, 3)
-    T_img = out[:, :, 3].transpose(0, 2, 1, 3).reshape(gy * t, gx * t)
-    return img[: cfg.height, : cfg.width], T_img[: cfg.height, : cfg.width]
+    out = out.reshape(F, gy, gx, 4, t, t)
+    img = out[:, :, :, :3].transpose(0, 1, 4, 2, 5, 3).reshape(
+        F, gy * t, gx * t, 3)[:, : cfg.height, : cfg.width]
+    T_img = out[:, :, :, 3].transpose(0, 1, 3, 2, 4).reshape(
+        F, gy * t, gx * t)[:, : cfg.height, : cfg.width]
+    if not batched:
+        return img[0], T_img[0]
+    return img, T_img

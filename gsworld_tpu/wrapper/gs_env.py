@@ -182,12 +182,55 @@ class GSWorldWrapper:
 
         posed = jax.vmap(per_env)(w)
 
-        ext = env.camera_extrinsics_cv(state)                # (B, C, 4, 4)
+        ext = env.camera_extrinsics_cv(state, cams)           # (B, C, 4, 4)
+        want_seg = (cameras is None
+                    and "segmentation" in getattr(env, "obs_mode", ""))
 
-        # envs render through lax.map (compiles the frame once; the pallas
-        # compositor cannot be vmapped, and serial env rendering also bounds
-        # the (B, tiles, K) record memory)
-        want_seg = "segmentation" in getattr(env, "obs_mode", "")
+        # fast path: all frames (envs x cameras) through ONE pallas grid —
+        # no per-frame program boundaries, batched sorts/gathers
+        same_size = len({(c.width, c.height) for c in cams}) == 1
+        if same_size and not want_seg \
+                and self.raster_config.backend != "xla" \
+                and jax.default_backend() not in ("cpu",):
+            from gsworld_tpu.render.binning import bin_gaussians
+            from gsworld_tpu.render.project import project_gaussians
+            from gsworld_tpu.render.rasterize_pallas import (
+                composite_tiles_pallas,
+            )
+            cfg = dataclasses.replace(self.raster_config,
+                                      width=cams[0].width,
+                                      height=cams[0].height)
+            B = self.num_envs
+            C = len(cams)
+
+            def cam_of(e, ci):
+                cam = cams[ci]
+                return cam_maniskill2gs(
+                    e[ci], jnp.asarray(cam.intrinsic), cam.width, cam.height,
+                    jnp.asarray(self.rigid_sim2real),
+                    jnp.float32(self.scale_sim2real))
+
+            gs_cams = [jax.vmap(lambda e, ci=ci: cam_of(e, ci))(ext)
+                       for ci in range(C)]
+            gs_cams = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1),
+                                   *gs_cams)               # (B, C, ...)
+            proj = jax.vmap(
+                lambda p_env, cams_env: jax.vmap(
+                    lambda cc: project_gaussians(p_env, cc, cfg,
+                                                 self.scene.sh0,
+                                                 self.scene.shN))(cams_env)
+            )(posed, gs_cams)                              # (B, C, N, ...)
+            proj = jax.tree.map(
+                lambda x: x.reshape((B * C,) + x.shape[2:]), proj)
+            bins = jax.vmap(lambda p: bin_gaussians(p, cfg))(proj)
+            imgs, _ = composite_tiles_pallas(proj, bins, cfg)  # (F, H, W, 3)
+            imgs = jnp.clip(imgs * 255.0, 0, 255).astype(jnp.uint8)
+            imgs = imgs.reshape(B, C, cams[0].height, cams[0].width, 3)
+            return {cam.name: {"rgb": imgs[:, ci]}
+                    for ci, cam in enumerate(cams)}
+
+        # general path: lax.map over envs (heterogeneous cameras /
+        # segmentation / CPU-XLA backends)
 
         def render_env(args):
             posed_e, ext_e = args

@@ -56,6 +56,21 @@ class TestPallasParity:
         mse = float(np.mean((np.asarray(ip) - np.asarray(ix)) ** 2))
         assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 50.0
 
+    def test_batched_frames_match_unbatched(self):
+        """The multi-frame grid path (envs x cameras in one pallas call)
+        must agree with per-frame composition."""
+        import jax
+        proj, bins, cfg = _setup(n=250, seed=5)
+        ref, _ = composite_tiles_pallas(proj, bins, cfg, interpret=True)
+        F = 3
+        projB = jax.tree.map(lambda x: jnp.stack([x] * F), proj)
+        binsB = jax.tree.map(lambda x: jnp.stack([x] * F), bins)
+        out, _ = composite_tiles_pallas(projB, binsB, cfg, interpret=True)
+        assert out.shape[0] == F
+        for f in range(F):
+            np.testing.assert_allclose(np.asarray(out[f]), np.asarray(ref),
+                                       atol=1e-5)
+
     def test_tiles_per_program_variants(self):
         proj, bins, cfg = _setup(n=200, seed=3)
         ref, _ = composite_tiles_pallas(proj, bins, cfg, interpret=True,
