@@ -58,7 +58,9 @@ class GSWorldWrapper:
                  cfg_dir: Optional[str] = None,
                  synthetic_sizes: Optional[dict] = None,
                  log_state: bool = False,
-                 state_log_path: str = "./exp_log"):
+                 state_log_path: str = "./exp_log",
+                 batch_frames: bool = False):
+        self.batch_frames = batch_frames
         self.env = env
         # episode-state logging for recovery (gs_world_wrapper.py:40-41,49;
         # the reference stores the intent but never wires the save — here
@@ -186,10 +188,12 @@ class GSWorldWrapper:
         want_seg = (cameras is None
                     and "segmentation" in getattr(env, "obs_mode", ""))
 
-        # fast path: all frames (envs x cameras) through ONE pallas grid —
-        # no per-frame program boundaries, batched sorts/gathers
+        # optional: all frames (envs x cameras) through ONE pallas grid.
+        # Measured SLOWER than the serial lax.map on v5e (batched sorts +
+        # record memory pressure beat the per-frame boundaries it removes),
+        # so off by default; kept for multi-core parts (batch_frames=True).
         same_size = len({(c.width, c.height) for c in cams}) == 1
-        if same_size and not want_seg \
+        if same_size and not want_seg and self.batch_frames \
                 and self.raster_config.backend != "xla" \
                 and jax.default_backend() not in ("cpu",):
             from gsworld_tpu.render.binning import bin_gaussians
