@@ -154,10 +154,12 @@ class MotionPlanningSolver:
         return -1
 
     def move_to_pose_with_RRTConnect(self, target_pos, target_quat,
-                                     refine_steps: int = 0):
-        """Joint-space fallback: IK the goal then straight-line joint interp
-        (a stand-in for mplib RRTConnect in obstacle-light tabletop scenes;
-        full sampling-based planning is on the roadmap)."""
+                                     refine_steps: int = 0,
+                                     max_iters: int = 200, seed: int = 0):
+        """Sampling-based planning: IK the goal pose, then bidirectional
+        RRT-Connect in joint space with batched collision checks
+        (motionplanner.py:108-129 analog of mplib's RRTConnect)."""
+        from gsworld_tpu.rollout.planner.rrt import rrt_connect
         q0, rp, rq = self._state0()
         q_goal, conv = self._ik(jnp.asarray(target_pos),
                                 jnp.asarray(target_quat),
@@ -165,11 +167,11 @@ class MotionPlanningSolver:
                                 jnp.asarray(rq))
         if not bool(conv):
             return -1
-        qa0 = q0[list(self.arm_dofs)]
-        qa1 = np.asarray(q_goal)[list(self.arm_dofs)]
-        n = max(2, int(np.ceil(np.abs(qa1 - qa0).max()
-                               / self.joint_vel_limit * self.control_freq / 4)))
-        qs = [qa0 + (qa1 - qa0) * (i / n) for i in range(1, n + 1)]
+        path = rrt_connect(self.base_env, q0, np.asarray(q_goal),
+                           self.arm_dofs, max_iters=max_iters, seed=seed)
+        if path is None:
+            return -1
+        qs = [p[list(self.arm_dofs)] for p in path]
         return self.follow_path(qs, refine_steps=refine_steps)
 
     def hold(self, steps: int = 10):
