@@ -43,10 +43,10 @@ def main():
     env, wrapper = build(
         "AlignFr3Env-v1", num_envs=num_envs, cfg_name="fr3_align",
         sim_freq=120, control_freq=40, width=width, height=height,
-        max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", "512")),
+        max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", "1024")),
         tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", "16")),
-        max_tiles_per_gaussian=int(os.environ.get("BENCH_MAX_TILES", "8")),
-        active_budget_frac=float(os.environ.get("BENCH_BUDGET", "0.6")),
+        max_tiles_per_gaussian=int(os.environ.get("BENCH_MAX_TILES", "16")),
+        active_budget_frac=float(os.environ.get("BENCH_BUDGET", "1.0")),
         synthetic_scale=synthetic_scale)
     fps, spf, _ = rollout_fps(wrapper, ep_len, seed=0, use_scan=True)
     print(json.dumps({

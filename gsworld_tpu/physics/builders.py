@@ -46,9 +46,15 @@ def box_actor(name: str, half_size, density=DEFAULT_DENSITY,
     inertia = mass / 3.0 * np.diag([hy * hy + hz * hz,
                                     hx * hx + hz * hz,
                                     hx * hx + hy * hy])
-    pts = np.array([[sx * hx, sy * hy, sz * hz]
-                    for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
-    return ActorDef(name, pts, mass, inertia, friction)
+    corners = np.array([[sx * hx, sy * hy, sz * hz]
+                        for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
+    # face centers: vertex-in-hull narrowphase misses face-face contact of
+    # equal-size boxes without interior-face sample points
+    faces = np.array([[s * hx, 0, 0] for s in (-1, 1)]
+                     + [[0, s * hy, 0] for s in (-1, 1)]
+                     + [[0, 0, s * hz] for s in (-1, 1)])
+    return ActorDef(name, np.concatenate([corners, faces]), mass, inertia,
+                    friction)
 
 
 def cylinder_actor(name: str, radius: float, half_length: float,
@@ -63,7 +69,10 @@ def cylinder_actor(name: str, radius: float, half_length: float,
     ring = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
     pts = np.concatenate([
         np.concatenate([ring, np.full((n_side, 1), h)], axis=1),
-        np.concatenate([ring, np.full((n_side, 1), -h)], axis=1)])
+        np.concatenate([ring, np.full((n_side, 1), -h)], axis=1),
+        # cap centers + equator (face-face contact needs interior points)
+        np.asarray([[0.0, 0.0, h], [0.0, 0.0, -h]]),
+        np.concatenate([ring, np.zeros((n_side, 1))], axis=1)])
     inertia = np.diag([i_perp, i_perp, i_axis])
     if axis == "x":
         pts = pts[:, [2, 0, 1]]
