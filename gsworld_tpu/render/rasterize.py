@@ -22,10 +22,12 @@ bound the (C_tiles, px, K) intermediates.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gsworld_tpu.gs.transform import PosedGaussians
 from gsworld_tpu.render.binning import TileBins, bin_gaussians
@@ -45,7 +47,23 @@ def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig,
     Segmentation = semantic id of the dominant (max-weight) contributor per
     pixel, -1 where nothing dominates — the GS analog of the reference's
     obs_mode="rgb+segmentation" channel (SAPIEN per-entity seg ids,
-    gs_world_wrapper.py:168-173)."""
+    gs_world_wrapper.py:168-173).
+
+    The rgb path is differentiable through a hand-derived custom VJP (see
+    ``_composite_bwd``): XLA autodiff through the blending recurrence stores
+    the (pixels, K) intermediates of every tile chunk and runs ~10x the
+    forward cost even under remat — the same reason the CUDA rasterizer
+    hand-writes its backward (diff-gaussian-rasterization backward.cu)."""
+    if semantics is None:
+        floats = dict(mean2d=proj.mean2d, conic=proj.conic,
+                      color=proj.color, opacity=proj.opacity)
+        return _composite_diff(cfg, floats, bins.lists)
+    return _composite_impl(proj.mean2d, proj.conic, proj.color, proj.opacity,
+                           bins.lists, cfg, semantics)
+
+
+def _composite_impl(mean2d, conic, color, opacity, lists, cfg: RasterConfig,
+                    semantics=None):
     t = cfg.tile
     K = cfg.max_per_tile
     gx, gy = cfg.tiles_x, cfg.tiles_y
@@ -64,19 +82,19 @@ def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig,
     tchunks = tile_idx.reshape(-1, chunk)
 
     def one_tile(tid):
-        idx = bins.lists[tid]                     # (K,)
+        idx = lists[tid]                          # (K,)
         entry_valid = idx >= 0
         safe = jnp.maximum(idx, 0)
-        mean2d = proj.mean2d[safe]                # (K, 2)
-        conic = proj.conic[safe]                  # (K, 3)
-        color = proj.color[safe]                  # (K, 3)
-        opac = proj.opacity[safe]                 # (K,)
+        m2d = mean2d[safe]                        # (K, 2)
+        con = conic[safe]                         # (K, 3)
+        col = color[safe]                         # (K, 3)
+        opac = opacity[safe]                      # (K,)
 
         origin = jnp.stack([(tid % gx) * t, (tid // gx) * t]).astype(jnp.float32)
         pix = origin[None, :] + local             # (P, 2) P = t*t
 
-        d = mean2d[None, :, :] - pix[:, None, :]  # (P, K, 2)
-        A, B, Cc = conic[:, 0], conic[:, 1], conic[:, 2]
+        d = m2d[None, :, :] - pix[:, None, :]     # (P, K, 2)
+        A, B, Cc = con[:, 0], con[:, 1], con[:, 2]
         power = (-0.5 * (A[None, :] * d[..., 0] ** 2 + Cc[None, :] * d[..., 1] ** 2)
                  - B[None, :] * d[..., 0] * d[..., 1])          # (P, K)
         alpha = jnp.minimum(ALPHA_MAX, opac[None, :] * jnp.exp(power))
@@ -91,7 +109,7 @@ def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig,
                           axis=-1) > 0                         # (P, K)
         w = a * T_excl * (1.0 - done)
         T_final = jnp.prod(1.0 - a * (1.0 - done), axis=-1)    # (P,)
-        rgb = jnp.einsum("pk,kc->pc", w, color) + T_final[:, None] * bg
+        rgb = jnp.einsum("pk,kc->pc", w, col) + T_final[:, None] * bg
         if semantics is None:
             return rgb, T_final, jnp.zeros(w.shape[:-1], jnp.int32)
         # segmentation: semantic id of the dominant contributor per pixel
@@ -102,6 +120,12 @@ def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig,
                         semantics[safe][best], -1)
         return rgb, T_final, sem
 
+    # remat per chunk: the (P, K) blending intermediates are cheap to
+    # recompute but enormous to store (75 chunks x 16 tiles x 256 px x K
+    # floats each); without this, jax.grad through the compositor OOMs at
+    # training resolutions — the same reason the CUDA rasterizer hand-writes
+    # its backward instead of autodiffing the forward
+    @jax.checkpoint
     def per_chunk(tids):
         return jax.vmap(one_tile)(tids)
 
@@ -120,6 +144,164 @@ def composite_tiles(proj: Projected, bins: TileBins, cfg: RasterConfig,
     seg_img = seg.reshape(gy, gx, t, t).transpose(0, 2, 1, 3)
     seg_img = seg_img.reshape(gy * t, gx * t)[: cfg.height, : cfg.width]
     return img, T_img, seg_img
+
+
+# --------------------------------------------------------------------- #
+# Hand-derived backward (the TPU analog of diff-gaussian-rasterization's
+# backward.cu).  With out = sum_i e_i U_i c_i + U_K bg, where e_i is the
+# effective alpha (skip rules + termination folded in, masks treated
+# piecewise-constant exactly like the CUDA backward) and
+# U_i = prod_{j<i} (1 - e_j):
+#
+#   c_bar_i = sum_pix w_i g                       (one matmul)
+#   e_bar_i = U_i (g . c_i) - s_i / (1 - e_i),
+#       s_i = sum_{j>i} w_j (g . c_j) + T_fin (g . bg + T_bar)
+#             (one reverse cumsum)
+#   alpha -> (opacity, conic, mean2d) grads are polynomials in the pixel
+#   coordinates, so every per-gaussian reduction collapses to six moments
+#   sum_pix q * [1, px, py, px^2, px py, py^2]    (one matmul, MXU)
+#
+# Per chunk this costs ~1 forward recompute + 2 scans + 3 matmuls, versus
+# XLA autodiff's ~10x forward (measured 1074 ms vs 108 ms forward at
+# 640x480, K=1024).
+# --------------------------------------------------------------------- #
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _composite_diff(cfg: RasterConfig, floats, lists):
+    return _composite_impl(floats["mean2d"], floats["conic"],
+                           floats["color"], floats["opacity"], lists, cfg)
+
+
+def _composite_diff_fwd(cfg, floats, lists):
+    out = _composite_impl(floats["mean2d"], floats["conic"],
+                          floats["color"], floats["opacity"], lists, cfg)
+    return out, (floats, lists)
+
+
+def _tile_pixel_cts(img_ct, T_ct, cfg):
+    """Scatter the (H, W[,3]) output cotangents back into per-tile (P,)
+    pixel blocks (inverse of the tile->image assembly, crop padded with 0)."""
+    t, gx, gy = cfg.tile, cfg.tiles_x, cfg.tiles_y
+    Hp, Wp = gy * t, gx * t
+    ict = jnp.zeros((Hp, Wp, 3), img_ct.dtype)
+    ict = ict.at[: cfg.height, : cfg.width].set(img_ct)
+    ict = ict.reshape(gy, t, gx, t, 3).transpose(0, 2, 1, 3, 4)
+    ict = ict.reshape(gy * gx, t * t, 3)
+    tct = jnp.zeros((Hp, Wp), T_ct.dtype)
+    tct = tct.at[: cfg.height, : cfg.width].set(T_ct)
+    tct = tct.reshape(gy, t, gx, t).transpose(0, 2, 1, 3)
+    tct = tct.reshape(gy * gx, t * t)
+    return ict, tct
+
+
+def _composite_diff_bwd(cfg, res, cts):
+    floats, lists = res
+    mean2d, conic = floats["mean2d"], floats["conic"]
+    color, opacity = floats["color"], floats["opacity"]
+    img_ct, T_ct = cts
+    t = cfg.tile
+    gx, gy = cfg.tiles_x, cfg.tiles_y
+    num_tiles = gx * gy
+    n = mean2d.shape[0]
+
+    ly, lx = jnp.mgrid[0:t, 0:t]
+    px = lx.reshape(-1).astype(jnp.float32)           # (P,) tile-local
+    py = ly.reshape(-1).astype(jnp.float32)
+    local = jnp.stack([px, py], axis=-1)
+    basis = jnp.stack([jnp.ones_like(px), px, py,
+                       px * px, px * py, py * py], axis=-1)   # (P, 6)
+    bg = jnp.asarray(cfg.bg, jnp.float32)
+
+    gcts, tcts = _tile_pixel_cts(img_ct, T_ct, cfg)   # (T, P, 3), (T, P)
+
+    def one_tile_bwd(tid, gct, tct):
+        idx = lists[tid]
+        entry_valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        m2d = mean2d[safe]
+        con = conic[safe]
+        col = color[safe]
+        opac = opacity[safe]
+
+        origin = jnp.stack([(tid % gx) * t,
+                            (tid // gx) * t]).astype(jnp.float32)
+        mloc = m2d - origin[None, :]                  # tile-local means
+        d = mloc[None, :, :] - local[:, None, :]      # (P, K, 2)
+        A, B, Cc = con[:, 0], con[:, 1], con[:, 2]
+        power = (-0.5 * (A[None, :] * d[..., 0] ** 2
+                         + Cc[None, :] * d[..., 1] ** 2)
+                 - B[None, :] * d[..., 0] * d[..., 1])
+        alpha = jnp.minimum(ALPHA_MAX, opac[None, :] * jnp.exp(power))
+        contrib = entry_valid[None, :] & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        a = jnp.where(contrib, alpha, 0.0)
+        T_incl = jnp.cumprod(1.0 - a, axis=-1)
+        done = jnp.cumsum((T_incl < T_EPS).astype(jnp.int32), axis=-1) > 0
+        notdone = 1.0 - done
+        e = a * notdone
+        one_me = 1.0 - e
+        U = jnp.concatenate([jnp.ones_like(one_me[..., :1]),
+                             jnp.cumprod(one_me, axis=-1)[..., :-1]], axis=-1)
+        T_fin = jnp.prod(one_me, axis=-1)             # (P,)
+        w = e * U                                     # (P, K)
+
+        r = jnp.einsum("pc,kc->pk", gct, col, precision=_HI)
+        wr = w * r
+        seed = T_fin * (gct @ bg + tct)               # (P,)
+        cums = jnp.cumsum(wr, axis=-1)
+        s = (cums[..., -1:] - cums) + seed[:, None]   # suffix sums, j > i
+        ebar = U * r - s / one_me
+        abar = ebar * notdone * contrib
+        q = abar * alpha * (alpha < ALPHA_MAX)        # power cotangent (P, K)
+
+        cbar = jnp.einsum("pk,pc->kc", w, gct, precision=_HI)    # (K, 3)
+        M = jnp.einsum("pk,pb->kb", q, basis, precision=_HI)     # (K, 6)
+        M0, Mx, My, Mxx, Mxy, Myy = [M[:, i] for i in range(6)]
+        mx, my = mloc[:, 0], mloc[:, 1]
+        Sx = mx * M0 - Mx                             # sum_p q dx
+        Sy = my * M0 - My
+        mbar_x = -(A * Sx + B * Sy)
+        mbar_y = -(Cc * Sy + B * Sx)
+        Abar = -0.5 * (mx * mx * M0 - 2 * mx * Mx + Mxx)
+        Bbar = -(mx * my * M0 - mx * My - my * Mx + Mxy)
+        Cbar = -0.5 * (my * my * M0 - 2 * my * My + Myy)
+        obar = M0 / jnp.maximum(opac, 1e-6)
+        g9 = jnp.stack([mbar_x, mbar_y, Abar, Bbar, Cbar,
+                        cbar[:, 0], cbar[:, 1], cbar[:, 2], obar], axis=-1)
+        return g9 * entry_valid[:, None].astype(g9.dtype)        # (K, 9)
+
+    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    chunk = max(1, min(cfg.tile_chunk, num_tiles))
+    pad = (-num_tiles) % chunk
+    tile_idx_p = jnp.concatenate([tile_idx, jnp.zeros((pad,), jnp.int32)])
+    gcts_p = jnp.concatenate([gcts, jnp.zeros((pad,) + gcts.shape[1:],
+                                              gcts.dtype)])
+    tcts_p = jnp.concatenate([tcts, jnp.zeros((pad,) + tcts.shape[1:],
+                                              tcts.dtype)])
+    nchunk = tile_idx_p.shape[0] // chunk
+
+    def per_chunk(args):
+        return jax.vmap(one_tile_bwd)(*args)
+
+    g9 = jax.lax.map(per_chunk, (tile_idx_p.reshape(nchunk, chunk),
+                                 gcts_p.reshape((nchunk, chunk)
+                                                + gcts.shape[1:]),
+                                 tcts_p.reshape((nchunk, chunk)
+                                                + tcts.shape[1:])))
+    g9 = g9.reshape(-1, cfg.max_per_tile, 9)[:num_tiles]         # (T, K, 9)
+
+    # one packed scatter-add into per-gaussian grads (invalid rows are 0)
+    ids = jnp.maximum(lists, 0).reshape(-1)
+    acc = jnp.zeros((n, 9), g9.dtype).at[ids].add(g9.reshape(-1, 9))
+    grads = dict(mean2d=acc[:, 0:2], conic=acc[:, 2:5],
+                 color=acc[:, 5:8], opacity=acc[:, 8])
+    lists_ct = np.zeros(lists.shape, dtype=jax.dtypes.float0)
+    return grads, lists_ct
+
+
+_composite_diff.defvjp(_composite_diff_fwd, _composite_diff_bwd)
 
 
 def _use_pallas(cfg: RasterConfig) -> bool:

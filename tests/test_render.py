@@ -205,3 +205,67 @@ class TestRasterizeVsGolden:
         # farther camera -> smaller splat footprint -> dimmer total
         sums = imgs.sum(axis=(1, 2, 3))
         assert sums[0] > sums[-1]
+
+
+class TestCompositeBackward:
+    """The hand-derived custom VJP must match XLA autodiff through the raw
+    compositor (the analog of testing backward.cu against a reference
+    autograd implementation)."""
+
+    def test_custom_vjp_matches_autodiff(self):
+        from gsworld_tpu.render import rasterize as R
+        splats = make_test_scene(600, seed=3)
+        cfg = RasterConfig(width=96, height=64, max_per_tile=256,
+                           max_tiles_per_gaussian=16, tile_chunk=4)
+        w2c, tanf = front_camera()
+        cam = make_camera(w2c, tanf, tanf)
+        g = posed_from_splats(splats)
+        sh0 = jnp.asarray(splats["sh0"].reshape(-1, 3))
+        shN = jnp.asarray(splats["shN"].reshape(-1, 45))
+        proj = project_gaussians(g, cam, cfg, sh0, shN)
+        bins = bin_gaussians(proj, cfg)
+        floats = dict(mean2d=proj.mean2d, conic=proj.conic,
+                      color=proj.color, opacity=proj.opacity)
+        key = jax.random.PRNGKey(0)
+        ct_img = jax.random.normal(key, (64, 96, 3))
+        ct_T = jax.random.normal(jax.random.fold_in(key, 1), (64, 96))
+
+        def loss_ref(fp):
+            img, T = R._composite_impl(fp["mean2d"], fp["conic"],
+                                       fp["color"], fp["opacity"],
+                                       bins.lists, cfg)
+            return jnp.sum(img * ct_img) + jnp.sum(T * ct_T)
+
+        def loss_custom(fp):
+            img, T = R._composite_diff(cfg, fp, bins.lists)
+            return jnp.sum(img * ct_img) + jnp.sum(T * ct_T)
+
+        v1, g1 = jax.value_and_grad(loss_ref)(floats)
+        v2, g2 = jax.value_and_grad(loss_custom)(floats)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for k in floats:
+            a, b = np.asarray(g1[k]), np.asarray(g2[k])
+            scale = max(np.abs(a).max(), 1e-8)
+            rel = np.abs(a - b).max() / scale
+            assert rel < 2e-4, f"{k}: rel err {rel:.3e}"
+
+    def test_grad_memory_path_runs_at_chunked_sizes(self):
+        # exercise padding (num_tiles not divisible by tile_chunk) + T-only
+        # cotangent
+        from gsworld_tpu.render import rasterize as R
+        splats = make_test_scene(200, seed=5)
+        cfg = RasterConfig(width=80, height=48, max_per_tile=128,
+                           max_tiles_per_gaussian=8, tile_chunk=7)
+        w2c, tanf = front_camera()
+        cam = make_camera(w2c, tanf, tanf)
+        g = posed_from_splats(splats)
+        sh0 = jnp.asarray(splats["sh0"].reshape(-1, 3))
+        shN = jnp.asarray(splats["shN"].reshape(-1, 45))
+        proj = project_gaussians(g, cam, cfg, sh0, shN)
+        bins = bin_gaussians(proj, cfg)
+        floats = dict(mean2d=proj.mean2d, conic=proj.conic,
+                      color=proj.color, opacity=proj.opacity)
+        grad = jax.grad(lambda fp: jnp.sum(
+            R._composite_diff(cfg, fp, bins.lists)[1]))(floats)
+        for k, v in grad.items():
+            assert np.all(np.isfinite(np.asarray(v))), k
