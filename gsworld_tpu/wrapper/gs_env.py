@@ -182,7 +182,11 @@ class GSWorldWrapper:
                                        world.a_pos, world.a_quat)
             return repose_scene(self.scene, slots)
 
-        posed = jax.vmap(per_env)(w)
+        # barrier: without it XLA rematerializes the slot-gather repose into
+        # every lax.map render iteration (once per camera!) to avoid
+        # materializing the (B, N, ...) posed buffers — measured +19 ms/frame
+        # at B=16 (51.3 -> 32 ms/frame with the barrier)
+        posed = jax.lax.optimization_barrier(jax.vmap(per_env)(w))
 
         ext = env.camera_extrinsics_cv(state, cams)           # (B, C, 4, 4)
         want_seg = (cameras is None
