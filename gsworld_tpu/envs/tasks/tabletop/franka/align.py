@@ -53,8 +53,7 @@ class AlignFr3Env(RealFr3):
                              half_length=0.05, axis="y", friction=0.6),
             B.box_actor("spice_rack", GOAL_HALF, friction=0.6),
         ]
-        self._green_h = 0.033   # upright resting half-height = radius? no:
-        # upright (axis vertical) half-height = half_length
+        # upright (cylinder axis vertical) resting half-height = half_length
         self._green_h = 0.065
         self._red_h = 0.05
 
