@@ -111,7 +111,9 @@ class CompositeController:
                 lo = jnp.float32(g.lower if g.lower is not None else -0.1)
                 hi = jnp.float32(g.upper if g.upper is not None else 0.1)
                 if g.normalize_action:
-                    a = lo + (a + 1.0) * 0.5 * (hi - lo)
+                    # clip_and_scale_action: ManiSkill clips to [-1, 1]
+                    # BEFORE rescaling (ADVICE r1)
+                    a = lo + (jnp.clip(a, -1.0, 1.0) + 1.0) * 0.5 * (hi - lo)
                 else:
                     a = jnp.clip(a, lo, hi)
                 new = qpos[..., ids] + a
@@ -121,7 +123,7 @@ class CompositeController:
                 hi = (jnp.float32(g.upper) if g.upper is not None
                       else hi_j[ids])
                 if g.normalize_action:
-                    a = lo + (a + 1.0) * 0.5 * (hi - lo)
+                    a = lo + (jnp.clip(a, -1.0, 1.0) + 1.0) * 0.5 * (hi - lo)
                 new = jnp.clip(a, lo, hi)
             new = jnp.clip(new, lo_j[ids], hi_j[ids])
             target = target.at[..., ids].set(new)
@@ -134,6 +136,7 @@ class CompositeController:
 
         fk = ee_pose_fn(self.model, g.ee_link)
         p_now, q_now = fk(qpos, root_pos, root_quat)
+        a = jnp.clip(a, -1.0, 1.0)  # clip_and_scale_action (ADVICE r1)
         dp = (g.pos_lower + (a[..., :3] + 1.0) * 0.5
               * (g.pos_upper - g.pos_lower))
         p_t = p_now + dp

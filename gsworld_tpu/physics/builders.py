@@ -133,7 +133,11 @@ def build_actor_table(defs: Sequence[ActorDef],
         mass=np.asarray([d.mass for d in defs], np.float32),
         inertia=np.stack([d.inertia for d in defs]).astype(np.float32),
         sup_pts=_pad_points([d.sup_pts for d in defs], max_support),
-        faces=np.stack([hull_faces(d.sup_pts, MAX_FACES) for d in defs]),
+        # honor explicitly-provided face planes (ADVICE r1: recomputing
+        # from sup_pts made ActorDef.faces dead)
+        faces=np.stack([d.faces if d.faces is not None
+                        else hull_faces(d.sup_pts, MAX_FACES)
+                        for d in defs]),
         friction=np.asarray([d.friction for d in defs], np.float32),
     )
 

@@ -210,6 +210,10 @@ def implicit_pd_velocity(model: ArticulationModel, M, bias, qpos, qvel,
         damp = kd_e + jnp.asarray(model.damping)
         A = M + h * jnp.eye(model.dof) * damp
         Minv = jnp.linalg.inv(A)
+        # joint damping must also oppose the *current* velocity, not only
+        # velocity change: (M + h(kd+d)) dv = h (tau - d qvel - bias), the
+        # SAPIEN/PhysX joint-damping semantics (ADVICE r1)
+        tau_t = tau_t - jnp.asarray(model.damping) * qvel
         qv = qvel + Minv @ (h * (tau_t - bias))
         return qv, Minv
 

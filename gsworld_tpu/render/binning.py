@@ -39,6 +39,19 @@ class TileBins(NamedTuple):
     overflow: jnp.ndarray  # () int32 entries dropped by budget / D / K caps
 
 
+class EntryBins(NamedTuple):
+    """Segment-packed tile lists: the (tile, depth)-sorted entry stream.
+
+    The Pallas compositor walks ``gaussian[starts[t]:starts[t+1]]`` per tile
+    (the TPU analog of the CUDA kernel's per-tile range indirection into the
+    radix-sorted key array) — no dense (T, K) table is ever materialized.
+    """
+
+    gaussian: jnp.ndarray  # (E,) int32 gaussian index per entry
+    starts: jnp.ndarray    # (T+1,) int32 per-tile segment starts into gaussian
+    overflow: jnp.ndarray  # () int32 entries dropped by the D / E caps
+
+
 def _two_level_searchsorted(sorted_arr, queries, stride: int = 128):
     """searchsorted(sorted_arr, queries, side='left') in 2 gather rounds."""
     m = sorted_arr.shape[0]
@@ -50,6 +63,81 @@ def _two_level_searchsorted(sorted_arr, queries, stride: int = 128):
     within = jnp.sum((win < queries[:, None])
                      & (win_idx < m), axis=1)
     return jnp.where(hi == 0, 0, base + within)
+
+
+def bin_entries(proj: Projected, cfg: RasterConfig) -> EntryBins:
+    """Segment-packed binning for the Pallas compositor (single frame).
+
+    TPU reformulation of the CUDA duplicate + radix-sort stage
+    (diff-gaussian-rasterization forward; SURVEY.md §2.3 row 1) that never
+    materializes the dense (N, D) duplication table the old path sorted:
+
+      1. depth argsort (culled entries carry depth=inf and sink);
+      2. per-gaussian entry counts cnt = min(tile-rect area, D) and their
+         exclusive prefix sum give each gaussian a segment [offs, offs+cnt)
+         in a static entry budget E = cfg.max_entries;
+      3. the entry->gaussian map is built with ONE scatter of segment-start
+         markers + a prefix-max fill (stream compaction without sorting the
+         ~8x-larger dup table);
+      4. per-entry tile ids come from enumerating the gaussian's tile rect
+         row-major; ONE single-key sort of tile*E2 + entry_rank groups
+         entries per tile in depth order (entry rank encodes depth order,
+         so the combined key reproduces the CUDA (tile, depth) radix sort);
+      5. per-tile segment starts via two-level searchsorted.
+
+    Entries beyond E are dropped farthest-first (depth order), which
+    degrades more gracefully than the old row-major D-truncation; both
+    drops feed ``overflow``.
+    """
+    n = proj.depth.shape[0]
+    D = cfg.max_tiles_per_gaussian
+    E = cfg.max_entries
+    T = cfg.num_tiles
+    gx = cfg.tiles_x
+    assert E % 128 == 0, "max_entries must be a multiple of 128"
+    e2 = 1
+    while e2 < E:
+        e2 *= 2
+    assert (T + 1) * e2 < 2 ** 31, (
+        "tile/entry key would overflow int32; lower max_entries")
+
+    order = jnp.argsort(proj.depth).astype(jnp.int32)          # (n,)
+    rect_o = proj.rect[order]                                  # (n, 4)
+    w = rect_o[:, 2] - rect_o[:, 0]
+    area = w * (rect_o[:, 3] - rect_o[:, 1])
+    cnt = jnp.clip(area, 0, D)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
+    total = offs[-1] + cnt[-1]
+
+    # entry -> depth-rank map: scatter segment-start markers, prefix-max fill
+    rank = jnp.arange(n, dtype=jnp.int32)
+    mark_pos = jnp.where(cnt > 0, offs, E)                     # E = dropped
+    markers = jnp.full((E,), -1, jnp.int32).at[mark_pos].max(
+        rank, mode="drop")
+    g_rank = jax.lax.associative_scan(jnp.maximum, markers)    # (E,)
+
+    # per-entry tile id (row-major within the gaussian's tile rect)
+    safe_rank = jnp.maximum(g_rank, 0)
+    meta = jnp.stack([rect_o[:, 0], rect_o[:, 1],
+                      jnp.maximum(w, 1), offs, order], axis=1)  # (n, 5)
+    m = meta[safe_rank]                                        # ONE gather
+    d = jnp.arange(E, dtype=jnp.int32) - m[:, 3]
+    dy = d // m[:, 2]
+    tile = (m[:, 1] + dy) * gx + m[:, 0] + (d - dy * m[:, 2])
+    live = (g_rank >= 0) & (d < jnp.minimum(cnt[safe_rank], D))
+    tile = jnp.where(live, tile, T)                            # sentinel
+
+    key = jax.lax.sort(tile * e2 + jnp.arange(E, dtype=jnp.int32))
+    gaussian = m[:, 4][key % e2]                               # (E,) gather
+    starts = _two_level_searchsorted(
+        key, jnp.arange(T + 1, dtype=jnp.int32) * e2).astype(jnp.int32)
+
+    overflow = (jnp.sum(jnp.maximum(area, 0)
+                        - jnp.minimum(jnp.maximum(area, 0), D))
+                + jnp.maximum(total - E, 0))
+    return EntryBins(gaussian=gaussian.astype(jnp.int32), starts=starts,
+                     overflow=overflow)
 
 
 def bin_gaussians(proj: Projected, cfg: RasterConfig) -> TileBins:

@@ -48,9 +48,11 @@ class RasterConfig:
     width: int = 640
     height: int = 480
     tile: int = 16
-    max_per_tile: int = 1024        # per-tile gaussian list capacity
+    max_per_tile: int = 1024        # per-tile gaussian list capacity (XLA path)
     max_tiles_per_gaussian: int = 16  # duplication cap in binning
-    active_budget_frac: float = 1.0   # frustum-cull compaction budget
+    active_budget_frac: float = 1.0   # frustum-cull compaction budget (XLA path)
+    max_entries: int = 1 << 19      # total (tile, gaussian) entry budget
+    #                                 (Pallas segment path; farthest dropped)
     sh_degree: int = 3
     znear_cull: float = GS_NEAR_CULL
     znear: float = DEFAULT_ZNEAR

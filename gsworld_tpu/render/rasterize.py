@@ -318,16 +318,21 @@ def render(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
     [0, 1] (+ (H, W) int32 segmentation when ``semantics`` is given).
     vmap over leading axes of (g, cam) for batching."""
     proj = project_gaussians(g, cam, cfg, sh0, shN)
+    if _use_pallas(cfg):
+        from gsworld_tpu.render.binning import bin_entries
+        from gsworld_tpu.render.rasterize_pallas import composite_tiles_pallas
+        ebins = bin_entries(proj, cfg)
+        if semantics is not None:
+            img, _, seg = composite_tiles_pallas(proj, ebins, cfg,
+                                                 semantics=semantics)
+            return img, seg
+        img, _ = composite_tiles_pallas(proj, ebins, cfg)
+        return img
     bins = bin_gaussians(proj, cfg)
     if semantics is not None:
-        # segmentation path runs through the XLA compositor
         img, _, seg = composite_tiles(proj, bins, cfg, semantics)
         return img, seg
-    if _use_pallas(cfg):
-        from gsworld_tpu.render.rasterize_pallas import composite_tiles_pallas
-        img, _ = composite_tiles_pallas(proj, bins, cfg)
-    else:
-        img, _ = composite_tiles(proj, bins, cfg)
+    img, _ = composite_tiles(proj, bins, cfg)
     return img
 
 

@@ -1,30 +1,35 @@
 """Pallas tile-compositing kernel — the hot path of the rasterizer.
 
-Replaces the XLA composite (rasterize.py) which is memory-bound: every
-intermediate (power/alpha/prefix arrays per tile) round-trips HBM.  Each
-grid step composites ``tiles_per_program`` 16x16 tiles entirely in VMEM.
+TPU counterpart of the CUDA per-tile compositing loop
+(diff-gaussian-rasterization forward; SURVEY.md §2.3 row 1), built on the
+segment-packed entry stream from ``binning.bin_entries``:
 
-Data flow per frame:
-  * projection packs ONE (N, 8) f32 per-gaussian record table:
-    [mx, my, A, B, C, opacity, rgb10(bitcast), pad] — RGB is 3x10-bit fixed
-    point in one lane (<=0.4% color error), and validity folds into
-    opacity=0 (alpha < 1/255 never contributes), so the record stays 32 B;
-  * ONE row-gather materializes the (T, K) tile lists as (T, 8, K) records
-    (gathers + relayouts dominate cost on this hardware);
-  * the kernel computes alpha elementwise (dx/dy in f32), prefix
-    transmittance via log-space cumulative sums as a single
-    (n_px, C) @ triu_ones (C, C) MXU matmul (a log-depth scan in one op),
-    the done-mask cumulative-or with the same trick, and color accumulation
-    as w (n_px, C) @ rgb (C, 3).
+  * projection packs ONE (N, 8) f32 per-gaussian record:
+    [mx, my, A, B, C(conic), opacity, rgb10(bitcast), semantic] — RGB is
+    3x10-bit fixed point in one lane (<=0.4% color error);
+  * records are gathered once into (tile, depth)-sorted entry order and
+    re-blocked to (E/128, 8, 128) — fields on sublanes, entries on lanes —
+    so each 128-entry chunk is one 4 KB contiguous DMA;
+  * the kernel walks each tile's segment [starts[t], starts[t+1]) (scalar-
+    prefetched starts = the CUDA per-tile range indirection) with chunked
+    double-buffered HBM->VMEM DMA, overlapping copy and compute;
+  * per chunk, prefix transmittance is ONE log-space cumulative sum done as
+    a split-bf16 MXU matmul against a triangular 0/1 matrix (two bf16
+    passes reproduce ~f32 accuracy because the 0/1 matrix is exact in
+    bf16); the done mask needs NO scan — transmittance is monotone along
+    the chunk, so the termination bit is carried as a single column;
+  * color accumulation is one (n_px, C) @ (C, 3) MXU matmul; the optional
+    segmentation channel tracks the max-weight contributor's semantic id
+    with two VPU max ops per chunk.
 
-Per-tile early exit: chunks beyond the tile's entry count, or after every
-pixel saturates (T < 1e-4), are skipped via scalar predication — the
-data-dependent sparsity the CUDA kernel gets from its per-tile loop
-(SURVEY.md §7.3 item 1), unavailable to plain vmapped XLA.
+Early exit: chunks beyond the tile's segment never run (dynamic trip
+count), and the chunk loop breaks once every pixel saturates (T < 1e-4),
+draining the one in-flight DMA — the data-dependent sparsity the CUDA
+kernel gets from its per-tile loop, unavailable to plain vmapped XLA.
 
 Reference semantics preserved (power>0 skip, alpha<1/255 skip, terminate
 before the gaussian that crosses T<1e-4); tested against the XLA path and
-the literal golden implementation.
+the literal golden implementation (tests/test_pallas_kernel.py).
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gsworld_tpu.render.binning import TileBins
+from gsworld_tpu.render.binning import EntryBins
 from gsworld_tpu.render.camera import RasterConfig
 from gsworld_tpu.render.project import Projected
 
@@ -47,12 +52,13 @@ CHUNK = 128
 REC_W = 8   # f32 record width
 COLOR_MAX = 4.0
 _Q = 1023.0
+SEG_NONE = -1.0  # background semantic id
 
 # record rows: 0 mx, 1 my, 2 A, 3 B, 4 C (conic), 5 opacity,
-#              6 rgb 3x10-bit (bitcast uint32), 7 pad
+#              6 rgb 3x10-bit (bitcast uint32), 7 semantic id
 
 
-def pack_records(proj: Projected) -> jnp.ndarray:
+def pack_records(proj: Projected, semantics=None) -> jnp.ndarray:
     """(N, 8) f32 per-gaussian record table (computed densely, no gather)."""
     n = proj.depth.shape[0]
     valid = proj.radius > 0
@@ -60,56 +66,90 @@ def pack_records(proj: Projected) -> jnp.ndarray:
     q = jnp.round(c * _Q).astype(jnp.uint32)
     rgb_bits = q[:, 0] | (q[:, 1] << 10) | (q[:, 2] << 20)
     opac = jnp.where(valid, proj.opacity, 0.0)
+    sem = (jnp.full((n,), SEG_NONE, jnp.float32) if semantics is None
+           else semantics.astype(jnp.float32))
     return jnp.stack([
         proj.mean2d[:, 0], proj.mean2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         opac,
         jax.lax.bitcast_convert_type(rgb_bits, jnp.float32),
-        jnp.zeros((n,), jnp.float32),
+        sem,
     ], axis=1)
 
 
-def _composite_kernel(recs_ref, out_ref, *,
-                      cfg: RasterConfig, n_px: int, tiles_per_program: int):
+def _prep_entry_records(proj: Projected, bins: EntryBins, semantics):
+    """Gather records into sorted-entry order, blocked (E/128, 8, 128)."""
+    packed = pack_records(proj, semantics)          # (N, 8)
+    recs = packed[bins.gaussian]                    # (E, 8) ONE row gather
+    E = recs.shape[0]
+    return recs.reshape(E // CHUNK, CHUNK, REC_W).transpose(0, 2, 1)
+
+
+def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
+                    cfg: RasterConfig, n_px: int, tiles_per_program: int,
+                    with_seg: bool):
     tile = cfg.tile
     gx = cfg.tiles_x
-    K = cfg.max_per_tile
-    n_chunks = K // CHUNK
 
     li = jax.lax.broadcasted_iota(jnp.int32, (n_px, 1), 0)
     x_loc = (li % tile).astype(jnp.float32)     # (n_px, 1) tile-local coords
     y_loc = (li // tile).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     triu = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-            ).astype(jnp.float32)
+            ).astype(jnp.bfloat16)
 
-    pid = pl.program_id(1)
+    f = pl.program_id(0)
+    tb = pl.program_id(1)
 
-    def one_tile(ti, _):
-        t = pid * tiles_per_program + ti
-        count = recs_ref[0, ti, 7, 0].astype(jnp.int32)
+    def get_dma(slot, block):
+        return pltpu.make_async_copy(
+            recs_hbm.at[f, block], buf.at[slot], sems.at[slot])
+
+    for ti in range(tiles_per_program):
+        t = tb * tiles_per_program + ti
+        s = starts_ref[f, t]
+        e = starts_ref[f, t + 1]
+        b0 = s // CHUNK
+        nch = jnp.where(e > s, (e - b0 * CHUNK + CHUNK - 1) // CHUNK, 0)
         ox = ((t % gx) * tile).astype(jnp.float32)
         oy = ((t // gx) * tile).astype(jnp.float32)
 
-        def body(c, rgb_acc, logT, done_px):
-            G = recs_ref[0, ti, :, pl.ds(c * CHUNK, CHUNK)]  # (8, CHUNK)
-            A, B, C = G[2:3, :], G[3:4, :], G[4:5, :]
+        @pl.when(nch > 0)
+        def _():
+            get_dma(0, b0).start()
+
+        def body(carry):
+            c, rgb_acc, logT, done_col, best_w, best_sem = carry
+
+            @pl.when(c + 1 < nch)
+            def _():
+                get_dma((c + 1) % 2, b0 + c + 1).start()
+
+            get_dma(c % 2, b0 + c).wait()
+            G = buf[c % 2]                                 # (8, CHUNK) f32
+
+            ids = (b0 + c) * CHUNK + lane                  # (1, CHUNK)
+            maskv = (ids >= s) & (ids < e)
             dx = (G[0:1, :] - ox) - x_loc                  # (n_px, CHUNK)
             dy = (G[1:2, :] - oy) - y_loc
+            A, B, C = G[2:3, :], G[3:4, :], G[4:5, :]
             power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
             alpha = jnp.minimum(ALPHA_MAX, G[5:6, :] * jnp.exp(power))
-            contrib = (power <= 0.0) & (alpha >= ALPHA_MIN)
+            contrib = maskv & (power <= 0.0) & (alpha >= ALPHA_MIN)
             a = jnp.where(contrib, alpha, 0.0)
             X = jnp.log1p(-a)
-            incl = jnp.dot(X, triu, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+            # inclusive prefix log-transmittance: split-bf16 two-pass matmul
+            # against the exact-in-bf16 0/1 triangular matrix
+            Xh = X.astype(jnp.bfloat16)
+            Xl = (X - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            incl = (jnp.dot(Xh, triu, preferred_element_type=jnp.float32)
+                    + jnp.dot(Xl, triu, preferred_element_type=jnp.float32))
             T_incl = jnp.exp(incl + logT)
-            dead = (T_incl < T_EPS).astype(jnp.float32)
-            done = (jnp.dot(dead, triu,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-                    + done_px) > 0.5                       # cum-or + carry
+            # transmittance is monotone along the chunk, so "crossed the
+            # termination threshold" needs no cumulative-or — one compare
+            done = (T_incl < T_EPS) | (done_col > 0.5)     # (n_px, CHUNK)
             live = 1.0 - done.astype(jnp.float32)
             w = a * jnp.exp(incl - X + logT) * live        # (n_px, CHUNK)
             # decode 3x10-bit colors -> (3, CHUNK)
@@ -123,68 +163,61 @@ def _composite_kernel(recs_ref, out_ref, *,
                 ((bits >> 20) & 0x3FF).astype(jnp.int32).astype(jnp.float32)
                 * scale,
             ], axis=0)                                     # (3, CHUNK)
-            rgb = jax.lax.dot_general(
+            rgb_acc = rgb_acc + jax.lax.dot_general(
                 w, col, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=jnp.float32)
+            if with_seg:
+                wmax = jnp.max(w, axis=1, keepdims=True)   # (n_px, 1)
+                cand = jnp.max(jnp.where(w >= wmax, G[7:8, :], -jnp.inf),
+                               axis=1, keepdims=True)
+                better = wmax > best_w
+                best_w = jnp.where(better, wmax, best_w)
+                best_sem = jnp.where(better, cand, best_sem)
             logT = logT + jnp.sum(X * live, axis=1, keepdims=True)
-            done_px = done[:, CHUNK - 1:CHUNK].astype(jnp.float32)
-            return rgb_acc + rgb, logT, done_px
+            done_col = done[:, CHUNK - 1:CHUNK].astype(jnp.float32)
+            return c + 1, rgb_acc, logT, done_col, best_w, best_sem
 
-        def loop(c, carry):
-            rgb_acc, logT, done_px, alive = carry
-            do = (c * CHUNK < count) & alive
+        def cond(carry):
+            c, _, _, done_col, _, _ = carry
+            return (c < nch) & (jnp.min(done_col) < 0.5)
 
-            def run():
-                rgb, lT, dp = body(c, rgb_acc, logT, done_px)
-                return rgb, lT, dp, jnp.min(dp) < 0.5
+        init = (jnp.int32(0),
+                jnp.zeros((n_px, 3), jnp.float32),
+                jnp.zeros((n_px, 1), jnp.float32),
+                jnp.zeros((n_px, 1), jnp.float32),
+                jnp.zeros((n_px, 1), jnp.float32),
+                jnp.full((n_px, 1), SEG_NONE, jnp.float32))
+        c_fin, rgb_acc, logT, _, best_w, best_sem = jax.lax.while_loop(
+            cond, body, init)
 
-            return jax.lax.cond(do, run,
-                                lambda: (rgb_acc, logT, done_px, alive))
-
-        rgb_acc = jnp.zeros((n_px, 3), jnp.float32)
-        logT = jnp.zeros((n_px, 1), jnp.float32)
-        done_px = jnp.zeros((n_px, 1), jnp.float32)
-        rgb_acc, logT, done_px, _ = jax.lax.fori_loop(
-            0, n_chunks, lambda c, carry: loop(c, carry),
-            (rgb_acc, logT, done_px, True))
+        # saturation early-exit leaves one DMA in flight: drain it
+        @pl.when(c_fin < nch)
+        def _():
+            get_dma(c_fin % 2, b0 + c_fin).wait()
 
         T_fin = jnp.exp(logT)
-        b0, b1, b2 = (float(v) for v in cfg.bg)
+        b0f, b1f, b2f = (float(v) for v in cfg.bg)
         rgb = rgb_acc + jnp.concatenate(
-            [T_fin * b0, T_fin * b1, T_fin * b2], axis=1)
-        out_ref[0, ti, :, :] = jnp.concatenate([rgb, T_fin], axis=1).T
-        return 0
-
-    jax.lax.fori_loop(0, tiles_per_program, one_tile, 0)
-
-
-def _prep_records(proj: Projected, bins: TileBins):
-    """(T, 8, K) records with the per-tile count embedded at row 7, col 0
-    (avoids SMEM count tables, which don't tile under batched grids)."""
-    packed = pack_records(proj)                            # (N, 8) f32
-    safe = jnp.maximum(bins.lists, 0)
-    recs = packed[safe]                                    # ONE gather
-    # padding slots (-1) must never contribute: zero their opacity
-    recs = recs.at[:, :, 5].multiply(
-        (bins.lists >= 0).astype(jnp.float32))
-    recs = recs.transpose(0, 2, 1)                         # (T, 8, K)
-    recs = recs.at[:, 7, 0].set(bins.counts.astype(jnp.float32))
-    return recs
+            [T_fin * b0f, T_fin * b1f, T_fin * b2f], axis=1)
+        seg = jnp.where(best_w > T_EPS, best_sem, SEG_NONE)
+        out_ref[0, ti, :, :] = jnp.concatenate(
+            [rgb, T_fin, seg], axis=1).T                   # (5, n_px)
 
 
-def composite_tiles_pallas(proj: Projected, bins: TileBins,
-                           cfg: RasterConfig, interpret: bool = False,
+def composite_tiles_pallas(proj: Projected, bins: EntryBins,
+                           cfg: RasterConfig, semantics=None,
+                           interpret: bool = False,
                            tiles_per_program: int = 4):
-    """Blend per-tile lists into ((H, W, 3) image, (H, W) transmittance).
+    """Blend segment-packed entries into ((H, W, 3) image, (H, W)
+    transmittance[, (H, W) int32 segmentation if ``semantics`` given]).
 
     ``proj``/``bins`` may carry one leading frame axis (batched envs x
-    cameras): all frames run in ONE pallas grid (axis 0 = frame), so
-    multi-env rendering has no per-frame program boundaries.
+    cameras): all frames run in ONE pallas grid (axis 0 = frame).
+    Segmentation = semantic id of the dominant (max-weight) contributor per
+    pixel, -1 where nothing dominates — the GS analog of the reference's
+    obs_mode="rgb+segmentation" channel (gs_world_wrapper.py:168-173).
     """
     T = cfg.num_tiles
-    K = cfg.max_per_tile
-    assert K % CHUNK == 0, "max_per_tile must be a multiple of 128"
     n_px = cfg.tile * cfg.tile
     while T % tiles_per_program:
         tiles_per_program //= 2
@@ -192,31 +225,45 @@ def composite_tiles_pallas(proj: Projected, bins: TileBins,
 
     batched = proj.depth.ndim == 2
     if batched:
-        recs = jax.vmap(_prep_records)(proj, bins)         # (F, T, 8, K)
+        recs = jax.vmap(
+            lambda p, b: _prep_entry_records(p, b, semantics))(proj, bins)
+        starts = bins.starts                               # (F, T+1)
     else:
-        recs = _prep_records(proj, bins)[None]             # (1, T, 8, K)
+        recs = _prep_entry_records(proj, bins, semantics)[None]
+        starts = bins.starts[None]
     F = recs.shape[0]
 
-    out = pl.pallas_call(
-        functools.partial(_composite_kernel, cfg=cfg, n_px=n_px,
-                          tiles_per_program=tpb),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(F, T // tpb),
-        in_specs=[
-            pl.BlockSpec((1, tpb, REC_W, K), lambda f, t: (f, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tpb, 4, n_px), lambda f, t: (f, t, 0, 0),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, tpb, 5, n_px), lambda f, t, s: (f, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, T, 4, n_px), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, REC_W, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_segment_kernel, cfg=cfg, n_px=n_px,
+                          tiles_per_program=tpb,
+                          with_seg=semantics is not None),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, T, 5, n_px), jnp.float32),
         interpret=interpret,
-    )(recs)
+    )(starts, recs)
 
     gy, gx, t = cfg.tiles_y, cfg.tiles_x, cfg.tile
-    out = out.reshape(F, gy, gx, 4, t, t)
+    out = out.reshape(F, gy, gx, 5, t, t)
     img = out[:, :, :, :3].transpose(0, 1, 4, 2, 5, 3).reshape(
         F, gy * t, gx * t, 3)[:, : cfg.height, : cfg.width]
     T_img = out[:, :, :, 3].transpose(0, 1, 3, 2, 4).reshape(
         F, gy * t, gx * t)[:, : cfg.height, : cfg.width]
+    outs = (img, T_img)
+    if semantics is not None:
+        seg = out[:, :, :, 4].transpose(0, 1, 3, 2, 4).reshape(
+            F, gy * t, gx * t)[:, : cfg.height, : cfg.width]
+        outs = outs + (jnp.round(seg).astype(jnp.int32),)
     if not batched:
-        return img[0], T_img[0]
-    return img, T_img
+        return jax.tree.map(lambda x: x[0], outs)
+    return outs

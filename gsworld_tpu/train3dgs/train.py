@@ -93,7 +93,13 @@ def make_train_step(cfg: RasterConfig, params: OptimizationParams,
         scene = state.scene.replace(**{
             f: getattr(state.scene, f) + getattr(updates, f)
             for f in FLOAT_FIELDS})
-        ds = accumulate_stats(state.ds, g_d2d, radii)
+        # the Inria backward reports dL/dmean2D w.r.t. NDC coordinates
+        # (pixel-grad x ddelx_dx = 0.5*W in backward.cu), and
+        # densify_grad_threshold (2e-4) is calibrated to those units —
+        # rescale our pixel-space cotangent to match (ADVICE r1)
+        ndc_scale = jnp.asarray([0.5 * cfg.width, 0.5 * cfg.height],
+                                jnp.float32)
+        ds = accumulate_stats(state.ds, g_d2d * ndc_scale, radii)
         return TrainState(scene=scene, ds=ds, opt_state=opt_state,
                           step=state.step + 1), loss, img
 

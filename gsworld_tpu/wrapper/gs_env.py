@@ -192,15 +192,13 @@ class GSWorldWrapper:
         want_seg = (cameras is None
                     and "segmentation" in getattr(env, "obs_mode", ""))
 
-        # optional: all frames (envs x cameras) through ONE pallas grid.
-        # Measured SLOWER than the serial lax.map on v5e (batched sorts +
-        # record memory pressure beat the per-frame boundaries it removes),
-        # so off by default; kept for multi-core parts (batch_frames=True).
+        # optional: all frames (envs x cameras) through ONE pallas grid
+        # (batch_frames=True); segmentation rides the same kernel.
         same_size = len({(c.width, c.height) for c in cams}) == 1
-        if same_size and not want_seg and self.batch_frames \
+        if same_size and self.batch_frames \
                 and self.raster_config.backend != "xla" \
                 and jax.default_backend() not in ("cpu",):
-            from gsworld_tpu.render.binning import bin_gaussians
+            from gsworld_tpu.render.binning import bin_entries
             from gsworld_tpu.render.project import project_gaussians
             from gsworld_tpu.render.rasterize_pallas import (
                 composite_tiles_pallas,
@@ -230,10 +228,17 @@ class GSWorldWrapper:
             )(posed, gs_cams)                              # (B, C, N, ...)
             proj = jax.tree.map(
                 lambda x: x.reshape((B * C,) + x.shape[2:]), proj)
-            bins = jax.vmap(lambda p: bin_gaussians(p, cfg))(proj)
-            imgs, _ = composite_tiles_pallas(proj, bins, cfg)  # (F, H, W, 3)
-            imgs = jnp.clip(imgs * 255.0, 0, 255).astype(jnp.uint8)
+            bins = jax.vmap(lambda p: bin_entries(p, cfg))(proj)
+            sem = self.scene.semantics if want_seg else None
+            outs = composite_tiles_pallas(proj, bins, cfg, semantics=sem)
+            imgs = jnp.clip(outs[0] * 255.0, 0, 255).astype(jnp.uint8)
             imgs = imgs.reshape(B, C, cams[0].height, cams[0].width, 3)
+            if want_seg:
+                segs = outs[2].astype(jnp.int16).reshape(
+                    B, C, cams[0].height, cams[0].width)
+                return {cam.name: {"rgb": imgs[:, ci],
+                                   "segmentation": segs[:, ci, :, :, None]}
+                        for ci, cam in enumerate(cams)}
             return {cam.name: {"rgb": imgs[:, ci]}
                     for ci, cam in enumerate(cams)}
 
