@@ -131,6 +131,10 @@ class GsBaseEnv:
 
         self._actor_defs: List[B.ActorDef] = []
         self._load_scene()
+        # asset upgrade path: when a real collision mesh exists for an
+        # actor name (DTC/YCB convex PLYs, reference dtc.py:16-42), it
+        # replaces the primitive approximation transparently
+        self._actor_defs = [B.actor_from_asset(d) for d in self._actor_defs]
         kp, kd, fl = self.controller.gains()
         self.scene: PhysicsScene = B.make_scene(
             self.agent.model, self.agent.spec, self._actor_defs,
@@ -260,7 +264,8 @@ class GsBaseEnv:
             a_lin=jnp.zeros((A, 3)), a_ang=jnp.zeros((A, 3)),
             la_forces=jnp.zeros((n_la, 3)),
             contact_lam=jnp.zeros((contact_row_count(self.scene), 3)),
-            a_friction=jnp.asarray(self.scene.actors.friction))
+            a_friction=jnp.asarray(self.scene.actors.friction),
+            a_scale=jnp.ones((A,)))
         world, task = self._randomize_world(world, ep.task, dr_key)
         return world, run_key, ep.qpos, task
 

@@ -70,13 +70,25 @@ class RealXArm6(GsBaseEnv):
         import jax
         import jax.numpy as jnp
         cfg = self.domain_randomization_config
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         A = self.scene.actors.num
         fric = jnp.clip(
             cfg.obj_friction_mean
             + cfg.obj_friction_std * jax.random.normal(k1, (A,)),
             *cfg.obj_friction_bounds)
         world = world.replace(a_friction=fric)
+        # obj_scale_range: per-env geometric scale of each object
+        # (real_xarm_env.py:170-174) — collision support points/faces and
+        # the GS render scale both read world.a_scale
+        lo, hi = cfg.obj_scale_range
+        world = world.replace(a_scale=jax.random.uniform(
+            k4, (A,), minval=lo, maxval=hi))
+        # randomize_obj_color: uniform [0,1] per-channel object color
+        # (real_xarm_env.py:175-176); the GS wrapper applies it as a
+        # per-object color tint on the splats
+        if cfg.randomize_colors and cfg.randomize_obj_color:
+            task = dict(task)
+            task["obj_color"] = jax.random.uniform(k5, (A, 3))
         n_cams = len(self.cameras)
         off = jnp.asarray(cfg.max_camera_offset)
         pos_noise = jax.random.uniform(k2, (n_cams, 3), minval=-1.0,

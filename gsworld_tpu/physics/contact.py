@@ -115,6 +115,36 @@ def points_vs_hull(pts_w, hull_pose_pos, hull_pose_quat, faces):
     return pen, normal_w, pts_w
 
 
+def hull_query_sat(pts_w, hull_pose_pos, hull_pose_quat, faces):
+    """SAT building blocks for src points (K, 3) vs a dst hull.
+
+    Per-point least-penetration normals (points_vs_hull) tilt with the
+    dst hull's facets; on a gripper squeeze the two fingers' tilted
+    normals open an escape direction outside the friction cone and the
+    object squirts out (watermelon-seed failure, grasp contract tests in
+    test_xarm_agent.py).  PhysX instead picks ONE separating-axis normal
+    per colliding pair via face clipping; this returns the per-face SAT
+    quantities so _generate_contacts can pick the minimal-depth axis
+    across BOTH directed queries of a pair and share it among the pair's
+    contact rows.
+
+    Returns:
+      inside (K,) bool — src point is behind every valid dst face
+      depth  (F,)      — SAT depth of the deepest src point behind each
+                         dst face (+big for padding faces)
+      sd     (K, F)    — signed distance of each point to each face
+      nrm_w  (F, 3)    — world-frame dst face normals
+    """
+    Rh = quat_to_matrix(hull_pose_quat)
+    local = _einsum("ji,kj->ki", Rh, pts_w - hull_pose_pos)
+    sd = local @ faces[:, :3].T + faces[:, 3]                # (K, F)
+    valid = faces[:, 3] > -1e8                               # padding = far
+    inside = jnp.max(jnp.where(valid[None, :], sd, -1.0), axis=1) < 0.0
+    depth = jnp.where(valid, -jnp.min(sd, axis=0), 1e9)      # (F,)
+    nrm_w = _einsum("ij,fj->fi", Rh, faces[:, :3])
+    return inside, depth, sd, nrm_w
+
+
 def concat_contacts(sets) -> ContactSet:
     return ContactSet(*[jnp.concatenate([getattr(s, f) for s in sets], axis=0)
                         for f in ContactSet._fields])

@@ -165,22 +165,24 @@ def bias_forces(model: ArticulationModel, kin: KinState, qvel,
     return _einsum("ld,...li,...di->...d", anc, F, S)
 
 
-def pd_torque(model: ArticulationModel, qpos, qvel, q_target, kp, kd,
-              force_limit):
-    """SAPIEN-style PD drive torque with force limit; mimic dofs contribute
-    their torque to the parent dof (approximating the mimic constraint)."""
-    tau = kp * (q_target - qpos) - kd * qvel
-    tau = jnp.clip(tau, -force_limit, force_limit)
+def mimic_basis(model: ArticulationModel) -> np.ndarray:
+    """Static (dof, dof) mimic reduction basis T: full coords = T @ full
+    coords restricted to independent dofs.  Independent dof columns are
+    unit vectors; a follower dof's row carries ``mult`` in its parent's
+    column and its own column is zero.  Projecting the dynamics through T
+    (M_r = T^T M T, tau_r = T^T tau) is what makes PD drives AND contact
+    impulses consistent with the hard mimic constraint — solving in full
+    coordinates and overwriting followers afterwards lets the contact
+    solver 'satisfy' constraints with follower motion that slave_mimics
+    then destroys (the gripper squeeze bug, test_xarm_agent.py)."""
+    nd = model.dof
+    T = np.eye(nd)
     mp = model.mimic_parent
-    if (mp >= 0).any():
-        mp_j = jnp.asarray(np.maximum(mp, 0))
-        mult = jnp.asarray(model.mimic_mult)
-        is_m = jnp.asarray(mp >= 0)
-        # fold mimic torques onto parents (scaled by multiplier)
-        folded = jnp.zeros_like(tau)
-        folded = folded.at[..., mp_j].add(jnp.where(is_m, tau * mult, 0.0))
-        tau = jnp.where(is_m, 0.0, tau) + folded
-    return tau
+    for f in range(nd):
+        if mp[f] >= 0:
+            T[f, f] = 0.0
+            T[f, mp[f]] = model.mimic_mult[f]
+    return T
 
 
 def implicit_pd_velocity(model: ArticulationModel, M, bias, qpos, qvel,
@@ -196,24 +198,37 @@ def implicit_pd_velocity(model: ArticulationModel, M, bias, qpos, qvel,
     dof's (kp, kd) by min(1, limit/|force|), and re-solve — approximating the
     saturated drive while staying implicit (stable) in the unsaturated ones.
 
-    Returns (qvel_new, Minv_eff) with Minv_eff the inverse of the effective
-    system matrix (used by the contact solver as the impulse response).
+    Mimic dofs are eliminated through the reduction basis T (mimic_basis):
+    the returned impulse response is P = T (T^T A T)^-1 T^T, so generalized
+    forces on followers fold onto their parents and resulting velocities
+    always satisfy qvel_f = mult * qvel_p.
+
+    Returns (qvel_new, Minv_eff) with Minv_eff = P, the impulse response
+    used by the contact solver.
     """
+    T = jnp.asarray(mimic_basis(model), jnp.float32)
+    has_mimic = bool((model.mimic_parent >= 0).any())
+    follower = jnp.asarray(model.mimic_parent >= 0, jnp.float32)
+
+    def project_inv(A):
+        if not has_mimic:
+            return jnp.linalg.inv(A)
+        Ar = T.T @ A @ T + jnp.diag(follower)   # follower cols are zero
+        return T @ jnp.linalg.inv(Ar) @ T.T
 
     def solve(kp_e, kd_e):
-        tau = pd_torque(model, qpos, qvel, q_target, kp_e, kd_e,
-                        jnp.asarray(force_limit))
+        tau = kp_e * (q_target - qpos) - kd_e * qvel
+        tau = jnp.clip(tau, -jnp.asarray(force_limit),
+                       jnp.asarray(force_limit))
         if tau_external is not None:
-            tau_t = tau + tau_external
-        else:
-            tau_t = tau
+            tau = tau + tau_external
         damp = kd_e + jnp.asarray(model.damping)
         A = M + h * jnp.eye(model.dof) * damp
-        Minv = jnp.linalg.inv(A)
+        Minv = project_inv(A)
         # joint damping must also oppose the *current* velocity, not only
         # velocity change: (M + h(kd+d)) dv = h (tau - d qvel - bias), the
         # SAPIEN/PhysX joint-damping semantics (ADVICE r1)
-        tau_t = tau_t - jnp.asarray(model.damping) * qvel
+        tau_t = tau - jnp.asarray(model.damping) * qvel
         qv = qvel + Minv @ (h * (tau_t - bias))
         return qv, Minv
 

@@ -26,6 +26,105 @@ def load_stl(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return _load_stl_binary(data)
 
 
+def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Load a triangle mesh from .stl / .ply / .obj ->
+    (vertices (V, 3) f64, faces (F, 3) i32). The DTC/YCB asset DBs ship
+    convex collision meshes as PLY (reference dtc.py:32-38, ycb.py:24-30)."""
+    low = path.lower()
+    if low.endswith(".stl"):
+        return load_stl(path)
+    if low.endswith(".ply"):
+        return _load_ply_mesh(path)
+    if low.endswith(".obj"):
+        return _load_obj_mesh(path)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+def _load_obj_mesh(path: str):
+    verts, faces = [], []
+    for line in open(path):
+        t = line.split()
+        if not t:
+            continue
+        if t[0] == "v":
+            verts.append([float(v) for v in t[1:4]])
+        elif t[0] == "f":
+            idx = [int(v.split("/")[0]) - 1 for v in t[1:]]
+            for i in range(1, len(idx) - 1):   # fan-triangulate
+                faces.append([idx[0], idx[i], idx[i + 1]])
+    return (np.asarray(verts, np.float64),
+            np.asarray(faces, np.int32).reshape(-1, 3))
+
+
+def _load_ply_mesh(path: str):
+    """Minimal PLY triangle-mesh reader (ascii + binary_little_endian)."""
+    f = open(path, "rb")
+    assert f.readline().strip() == b"ply"
+    fmt = None
+    elems = []          # (name, count, [(prop_name, dtype) or ("list", ...)])
+    cur = None
+    while True:
+        line = f.readline().strip().decode()
+        if line == "end_header":
+            break
+        t = line.split()
+        if t[0] == "format":
+            fmt = t[1]
+        elif t[0] == "element":
+            cur = (t[1], int(t[2]), [])
+            elems.append(cur)
+        elif t[0] == "property":
+            cur[2].append(tuple(t[1:]))
+    _np = {"float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+           "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+           "short": "i2", "ushort": "u2", "int": "i4", "int32": "i4",
+           "uint": "u4", "uint32": "u4"}
+    verts = faces = None
+    for name, count, props in elems:
+        if fmt == "ascii":
+            rows = [f.readline().split() for _ in range(count)]
+            if name == "vertex":
+                names = [p[-1] for p in props]
+                xi = [names.index(k) for k in ("x", "y", "z")]
+                verts = np.asarray([[float(r[i]) for i in xi] for r in rows])
+            elif name == "face":
+                faces = []
+                for r in rows:
+                    n = int(r[0])
+                    idx = [int(v) for v in r[1:1 + n]]
+                    for i in range(1, n - 1):
+                        faces.append([idx[0], idx[i], idx[i + 1]])
+                faces = np.asarray(faces, np.int32)
+            continue
+        # binary little endian
+        if name == "vertex":
+            dt = np.dtype([(p[1], "<" + _np[p[0]]) for p in props])
+            arr = np.frombuffer(f.read(dt.itemsize * count), dtype=dt)
+            verts = np.stack([arr["x"], arr["y"], arr["z"]],
+                             axis=1).astype(np.float64)
+        elif name == "face":
+            assert props[0][0] == "list"
+            cdt = "<" + _np[props[0][1]]
+            idt = "<" + _np[props[0][2]]
+            isz = np.dtype(idt).itemsize
+            csz = np.dtype(cdt).itemsize
+            faces = []
+            for _ in range(count):
+                n = int(np.frombuffer(f.read(csz), dtype=cdt)[0])
+                idx = np.frombuffer(f.read(isz * n), dtype=idt).astype(int)
+                for i in range(1, n - 1):
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+            faces = np.asarray(faces, np.int32)
+        else:
+            # skip unknown fixed-size elements
+            dt = np.dtype([(p[-1], "<" + _np[p[0]]) for p in props])
+            f.read(dt.itemsize * count)
+    f.close()
+    if faces is None:
+        faces = np.zeros((0, 3), np.int32)
+    return verts, faces
+
+
 def _load_stl_binary(data: bytes):
     n_tri = int(np.frombuffer(data[80:84], dtype="<u4")[0])
     rec = np.frombuffer(data[84:84 + n_tri * 50], dtype=np.uint8).reshape(n_tri, 50)

@@ -313,11 +313,16 @@ def _use_pallas(cfg: RasterConfig) -> bool:
 
 
 def render(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
-           sh0, shN, semantics=None):
+           sh0, shN, semantics=None, color_tint=None):
     """Full forward render of one env through one camera -> (H, W, 3) in
     [0, 1] (+ (H, W) int32 segmentation when ``semantics`` is given).
-    vmap over leading axes of (g, cam) for batching."""
+    vmap over leading axes of (g, cam) for batching.
+
+    ``color_tint`` (N, 3) multiplies the SH-evaluated colors (per-object
+    color domain randomization, real_xarm_env.py:175-176)."""
     proj = project_gaussians(g, cam, cfg, sh0, shN)
+    if color_tint is not None:
+        proj = proj._replace(color=proj.color * color_tint)
     if _use_pallas(cfg):
         from gsworld_tpu.render.binning import bin_entries
         from gsworld_tpu.render.rasterize_pallas import composite_tiles_pallas

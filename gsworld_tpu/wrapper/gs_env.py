@@ -132,8 +132,11 @@ class GSWorldWrapper:
 
     # ------------------------------------------------------------------ #
 
-    def _slots_single(self, link_pos, link_quat, a_pos, a_quat):
+    def _slots_single(self, link_pos, link_quat, a_pos, a_quat,
+                      a_scale=None):
         """Per-env transform stack in layout slot order."""
+        if a_scale is None:
+            a_scale = jnp.ones((a_pos.shape[0],))
         S = self.layout.num_slots
         model = self.env.agent.model
         sim2gs = jnp.asarray(self.sim2gs, jnp.float32)
@@ -164,7 +167,8 @@ class GSWorldWrapper:
             oslots = jnp.asarray(self.obj_slot)
             R = R.at[oslots].set(R_obj)
             t = t.at[oslots].set(t_obj)
-            s = s.at[oslots].set(scale * jnp.asarray(self.obj_scale))
+            s = s.at[oslots].set(scale * jnp.asarray(self.obj_scale)
+                                 * a_scale[ai])
 
         return SlotTransforms(R=R, t=t, scale=s,
                               apply_scale=jnp.asarray(self.layout.scaled))
@@ -179,7 +183,8 @@ class GSWorldWrapper:
             link_pos, link_quat = forward_kinematics(
                 model, world.qpos, world.root_pos, world.root_quat)
             slots = self._slots_single(link_pos, link_quat,
-                                       world.a_pos, world.a_quat)
+                                       world.a_pos, world.a_quat,
+                                       world.a_scale)
             return repose_scene(self.scene, slots)
 
         # barrier: without it XLA rematerializes the slot-gather repose into
@@ -192,10 +197,21 @@ class GSWorldWrapper:
         want_seg = (cameras is None
                     and "segmentation" in getattr(env, "obs_mode", ""))
 
+        # per-object color DR (task["obj_color"], real_xarm_env.py:175-176)
+        # -> per-env per-slot tint stack; gathered per gaussian at render
+        tint_slots = None
+        task = state.task if isinstance(state.task, dict) else {}
+        if "obj_color" in task and len(self.gs_objects):
+            S = self.layout.num_slots
+            B = self.num_envs
+            tint_slots = jnp.ones((B, S, 3))
+            tint_slots = tint_slots.at[:, jnp.asarray(self.obj_slot)].set(
+                task["obj_color"][:, jnp.asarray(self.obj_actor_idx)])
+
         # optional: all frames (envs x cameras) through ONE pallas grid
         # (batch_frames=True); segmentation rides the same kernel.
         same_size = len({(c.width, c.height) for c in cams}) == 1
-        if same_size and self.batch_frames \
+        if same_size and self.batch_frames and tint_slots is None \
                 and self.raster_config.backend != "xla" \
                 and jax.default_backend() not in ("cpu",):
             from gsworld_tpu.render.binning import bin_entries
@@ -246,7 +262,9 @@ class GSWorldWrapper:
         # segmentation / CPU-XLA backends)
 
         def render_env(args):
-            posed_e, ext_e = args
+            posed_e, ext_e, tint_e = args
+            tint = (tint_e[self.scene.slot_ids]
+                    if tint_slots is not None else None)
             outs, segs = [], []
             for ci, cam in enumerate(cams):
                 gs_cam = cam_maniskill2gs(
@@ -258,22 +276,25 @@ class GSWorldWrapper:
                 if want_seg:
                     img, seg = gs_render(posed_e, gs_cam, cfg, self.scene.sh0,
                                          self.scene.shN,
-                                         semantics=self.scene.semantics)
+                                         semantics=self.scene.semantics,
+                                         color_tint=tint)
                     segs.append(seg.astype(jnp.int16))
                 else:
                     img = gs_render(posed_e, gs_cam, cfg, self.scene.sh0,
-                                    self.scene.shN)
+                                    self.scene.shN, color_tint=tint)
                 outs.append(jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8))
             if want_seg:
                 return jnp.stack(outs), jnp.stack(segs)
             return jnp.stack(outs)
 
+        zero_tint = (tint_slots if tint_slots is not None
+                     else jnp.zeros((self.num_envs, 1, 3)))
         if want_seg:
-            imgs, segs = jax.lax.map(render_env, (posed, ext))
+            imgs, segs = jax.lax.map(render_env, (posed, ext, zero_tint))
             return {cam.name: {"rgb": imgs[:, ci],
                                "segmentation": segs[:, ci, :, :, None]}
                     for ci, cam in enumerate(cams)}
-        imgs = jax.lax.map(render_env, (posed, ext))          # (B, C, H, W, 3)
+        imgs = jax.lax.map(render_env, (posed, ext, zero_tint))
         return {cam.name: {"rgb": imgs[:, ci]}
                 for ci, cam in enumerate(cams)}
 

@@ -1,0 +1,173 @@
+"""Behavioral contracts for the gripper kinematics and grasping.
+
+The reference's xArm6 UFactory gripper closes a 6-joint linkage with two
+SAPIEN point-to-point drives (xarm6_uf_gripper.py:420-510); here the
+passive joints are hard mimics of the two knuckle drives
+(envs/agents/xarm6.py).  These tests validate the claimed equivalence at
+the behavioral level — finger-gap kinematics, symmetric closing — and the
+grasp -> hold-against-gravity -> release contract per robot, exercising
+the is_grasping force/angle semantics (fr3_umi.py:152-180).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsworld_tpu import envs
+from gsworld_tpu.envs.agents.base import get_agent
+from gsworld_tpu.physics.kinematics import forward_kinematics
+
+
+def finger_gap(agent, qpos, fingers):
+    model = agent.model
+    pos, _ = forward_kinematics(model, jnp.asarray(qpos))
+    ids = [model.link_names.index(f) for f in fingers]
+    return float(jnp.linalg.norm(pos[ids[0]] - pos[ids[1]]))
+
+
+class TestXArmGripperKinematics:
+    def test_finger_gap_closes_monotonically(self):
+        """Driving both knuckles (with mimics slaved) must shrink the
+        finger-link gap monotonically over the full [0, 0.85] range."""
+        agent = get_agent("xarm6_uf_gripper")
+        model = agent.model
+        from gsworld_tpu.physics.dynamics import slave_mimics
+
+        q0 = np.zeros(model.dof)
+        gaps = []
+        for v in np.linspace(0.0, 0.85, 6):
+            q = q0.copy()
+            for j in ("drive_joint", "right_outer_knuckle_joint"):
+                q[model.dof_names.index(j)] = v
+            qs, _ = slave_mimics(model, jnp.asarray(q, jnp.float32),
+                                 jnp.zeros(model.dof))
+            gaps.append(finger_gap(agent, qs,
+                                   ("left_finger", "right_finger")))
+        gaps = np.asarray(gaps)
+        assert (np.diff(gaps) < 0).all(), f"gap not monotone: {gaps}"
+        # full stroke produces a real opening change (several cm)
+        assert gaps[0] - gaps[-1] > 0.03, gaps
+
+    def test_closing_is_symmetric(self):
+        """Both fingertips must move symmetrically about the gripper base
+        (the closed kinematic loop keeps the grasp centered)."""
+        agent = get_agent("xarm6_uf_gripper")
+        model = agent.model
+        from gsworld_tpu.physics.dynamics import slave_mimics
+
+        q = np.zeros(model.dof)
+        for j in ("drive_joint", "right_outer_knuckle_joint"):
+            q[model.dof_names.index(j)] = 0.6
+        qs, _ = slave_mimics(model, jnp.asarray(q, jnp.float32),
+                             jnp.zeros(model.dof))
+        pos, _ = forward_kinematics(model, qs)
+        base = pos[model.link_names.index("xarm_gripper_base_link")]
+        lf = pos[model.link_names.index("left_finger")] - base
+        rf = pos[model.link_names.index("right_finger")] - base
+        # mirrored across the gripper axis: same height and reach
+        assert abs(float(lf[2]) - float(rf[2])) < 1e-3
+        np.testing.assert_allclose(float(jnp.linalg.norm(lf)),
+                                   float(jnp.linalg.norm(rf)), atol=1e-3)
+
+    def test_mimics_track_under_dynamics(self):
+        env = envs.make("AlignXArmEnv-v1", num_envs=1, obs_mode="state_dict")
+        env.reset(seed=0)
+        a = np.zeros((1, env.action_dim), np.float32)
+        a[0, -1] = 0.6
+        for _ in range(10):
+            env.step(jnp.asarray(a))
+        q = np.asarray(env.state.world.qpos[0])
+        model = env.agent.model
+        for passive, parent in (
+                ("left_inner_knuckle_joint", "drive_joint"),
+                ("left_finger_joint", "drive_joint"),
+                ("right_inner_knuckle_joint", "right_outer_knuckle_joint"),
+                ("right_finger_joint", "right_outer_knuckle_joint")):
+            pi = model.dof_names.index(passive)
+            qi = model.dof_names.index(parent)
+            assert abs(q[pi] - q[qi]) < 1e-4, (passive, q[pi], q[qi])
+
+
+def _grasp_hold_release(env_id, actor, close_action, open_action,
+                        grip_slice):
+    """Teleport the actor between the fingers, close, verify grasp + hold
+    against gravity, open, verify release (is_grasping semantics,
+    fr3_umi.py:152-180).
+
+    Absolute pd_joint_pos arm control (the reference planners' mode,
+    run_with_gs.py): a held arm target keeps the arm from creeping under
+    the grasp reaction forces, isolating the grasp contract."""
+    env = envs.make(env_id, num_envs=1, obs_mode="state_dict",
+                    control_mode="pd_joint_pos")
+    env.reset(seed=0)
+    arm_q0 = np.asarray(env.state.world.qpos[0])[
+        np.asarray(env.agent.arm_dof_ids)]
+
+    def env0_data(state):
+        data = env._vmapped_data(state)
+        return jax.tree.map(lambda x: x[0], data)
+
+    tcp_p, _ = env.tcp_pose(env0_data(env.state))
+    # center the can slightly below the fingertips so it contacts ONLY the
+    # fingers (its upper rim would otherwise wedge into the palm)
+    tcp_p = tcp_p - jnp.asarray([0.0, 0.0, 0.035])
+    oi = env.actor_index[actor]
+
+    w = env.state.world
+    pos = w.a_pos.at[:, oi].set(tcp_p)
+    w = w.replace(a_pos=pos, a_lin=jnp.zeros_like(w.a_lin),
+                  a_ang=jnp.zeros_like(w.a_ang))
+    env._state = env._state.replace(world=w)
+
+    a = np.zeros((1, env.action_dim), np.float32)
+    a[0, :len(arm_q0)] = arm_q0  # hold the arm at its reset pose
+    a[0, grip_slice] = close_action
+    # pin the object at the tcp while the fingers travel (it would free-fall
+    # out of the closing gripper otherwise), then let the grasp carry it
+    for _ in range(15):
+        env.step(jnp.asarray(a))
+        w = env.state.world
+        env._state = env._state.replace(world=w.replace(
+            a_pos=w.a_pos.at[:, oi].set(tcp_p),
+            a_lin=w.a_lin.at[:, oi].set(0.0),
+            a_ang=w.a_ang.at[:, oi].set(0.0)))
+    for _ in range(10):
+        env.step(jnp.asarray(a))
+    grasping = bool(env.is_grasping(env0_data(env.state), actor))
+    z_held = float(env.state.world.a_pos[0, oi, 2])
+    assert grasping, "close on object must register a grasp"
+
+    # hold: under gravity, a grasped object must not fall
+    for _ in range(15):
+        env.step(jnp.asarray(a))
+    z_after = float(env.state.world.a_pos[0, oi, 2])
+    assert z_after > z_held - 0.02, (z_held, z_after)
+    assert bool(env.is_grasping(env0_data(env.state), actor))
+
+    # release: open -> the grasp flag clears and the object is no longer
+    # rigidly attached (it may momentarily rest/slide on the open fingers,
+    # so only a downward trend is asserted, not free fall)
+    a[0, grip_slice] = open_action
+    for _ in range(30):
+        env.step(jnp.asarray(a))
+    assert not bool(env.is_grasping(env0_data(env.state), actor))
+    z_drop = float(env.state.world.a_pos[0, oi, 2])
+    assert z_drop < z_after - 0.003, (z_after, z_drop)
+
+
+class TestGraspHoldRelease:
+    def test_fr3(self):
+        # fr3_umi gripper action is normalized: -1 closed / +1 open
+        # (motionplanner.py:12-13)
+        _grasp_hold_release("AlignFr3Env-v1", "dtc_green_can_fr3",
+                            close_action=-1.0, open_action=1.0,
+                            grip_slice=slice(-1, None))
+
+    def test_xarm(self):
+        # xarm finger_mimic is absolute: 0.85 closed / 0 open
+        # (xarm6 motionplanner.py:11-16)
+        _grasp_hold_release("AlignXArmEnv-v1", "dtc_green_can",
+                            close_action=0.85, open_action=0.0,
+                            grip_slice=slice(-1, None))
