@@ -48,7 +48,10 @@ def main():
         max_tiles_per_gaussian=int(os.environ.get("BENCH_MAX_TILES", "16")),
         active_budget_frac=float(os.environ.get("BENCH_BUDGET", "1.0")),
         synthetic_scale=synthetic_scale)
-    fps, spf, _ = rollout_fps(wrapper, ep_len, seed=0, use_scan=True)
+    shard = (os.environ.get("BENCH_SHARD", "0") == "1"
+             and len(jax.devices()) > 1)
+    fps, spf, _ = rollout_fps(wrapper, ep_len, seed=0, use_scan=True,
+                              shard=shard)
     print(json.dumps({
         "metric": "closed-loop env steps/s, 640x480 GS render, "
                   f"{num_envs} envs (AlignFr3Env-v1 random actions)",

@@ -304,6 +304,53 @@ def _composite_diff_bwd(cfg, res, cts):
 _composite_diff.defvjp(_composite_diff_fwd, _composite_diff_bwd)
 
 
+# --------------------------------------------------------------------- #
+# Differentiable Pallas path: forward = segment compositor kernel,
+# backward = the hand-written backward kernel (rasterize_pallas._bwd_kernel)
+# — the full TPU analog of diff-gaussian-rasterization fwd+bwd.  Binning
+# (entry ids, starts) is integer plumbing and not differentiated, same as
+# the CUDA duplication+sort stage.
+# --------------------------------------------------------------------- #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _composite_pallas_diff(cfg: RasterConfig, floats, aux):
+    out, _ = _composite_pallas_fwd(cfg, floats, aux)
+    return out
+
+
+def _pallas_proj(floats, aux):
+    radius, depth, rect, ebins = aux
+    return Projected(mean2d=floats["mean2d"], conic=floats["conic"],
+                     color=floats["color"], opacity=floats["opacity"],
+                     depth=depth, radius=radius, rect=rect), ebins
+
+
+def _composite_pallas_fwd(cfg, floats, aux):
+    from gsworld_tpu.render.rasterize_pallas import composite_tiles_pallas
+    proj, ebins = _pallas_proj(floats, aux)
+    img, T_img = composite_tiles_pallas(proj, ebins, cfg)
+    return (img, T_img), (floats, aux, img, T_img)
+
+
+def _composite_pallas_bwd(cfg, res, cts):
+    from gsworld_tpu.render.rasterize_pallas import composite_bwd_pallas
+    floats, aux, img, T_img = res
+    img_ct, T_ct = cts
+    proj, ebins = _pallas_proj(floats, aux)
+    grads = composite_bwd_pallas(proj, ebins, cfg, img_ct, T_ct, img, T_img)
+    aux_ct = jax.tree.map(
+        lambda x: (np.zeros(x.shape, jax.dtypes.float0)
+                   if jnp.issubdtype(x.dtype, jnp.integer)
+                   else jnp.zeros_like(x)), aux)
+    return grads, aux_ct
+
+
+_composite_pallas_diff.defvjp(
+    lambda cfg, floats, aux: _composite_pallas_fwd(cfg, floats, aux),
+    _composite_pallas_bwd)
+
+
 def _use_pallas(cfg: RasterConfig) -> bool:
     if cfg.backend == "pallas":
         return True
@@ -331,7 +378,11 @@ def render(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
             img, _, seg = composite_tiles_pallas(proj, ebins, cfg,
                                                  semantics=semantics)
             return img, seg
-        img, _ = composite_tiles_pallas(proj, ebins, cfg)
+        floats = dict(mean2d=proj.mean2d, conic=proj.conic,
+                      color=proj.color, opacity=proj.opacity)
+        aux = (proj.radius, jax.lax.stop_gradient(proj.depth), proj.rect,
+               ebins)
+        img, _ = _composite_pallas_diff(cfg, floats, aux)
         return img
     bins = bin_gaussians(proj, cfg)
     if semantics is not None:

@@ -204,9 +204,273 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
             [rgb, T_fin, seg], axis=1).T                   # (5, n_px)
 
 
+def pack_records_bwd(proj: Projected) -> jnp.ndarray:
+    """(N, 9) f32 backward record: [mx, my, A, B, C, opacity, r, g, b].
+    Unlike the forward record the colors stay full f32 — gradients must
+    match XLA autodiff to ~1e-4 (test_render.py), beyond 10-bit."""
+    valid = proj.radius > 0
+    opac = jnp.where(valid, proj.opacity, 0.0)
+    return jnp.stack([
+        proj.mean2d[:, 0], proj.mean2d[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        opac, proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+    ], axis=1)
+
+
+def _bwd_kernel(ctile_ref, astarts_ref, recs_ref, pix_ref, out_ref,
+                state, *, cfg: RasterConfig, n_px: int):
+    """Backward over the chunk-aligned entry stream (the TPU analog of
+    diff-gaussian-rasterization backward.cu).
+
+    The grid iterates 128-entry CHUNKS of a stream where every tile's
+    segment is chunk-aligned (composite_bwd_pallas re-packs it), so each
+    grid step owns its output block exclusively and all IO is
+    pallas-blocked — no manual DMA.  TPU grids execute sequentially, so
+    the per-tile forward-walk state (running prefix of w*r, log
+    transmittance, termination column) carries across grid steps in VMEM
+    scratch and resets when the prefetched chunk->tile map changes.
+
+    One forward-order walk reconstructs transmittance U_i and the done
+    mask exactly as the forward kernel; the suffix sum
+    s_i = sum_{j>i} w_j r_j + T_fin (g.bg + tct) needs no reverse pass
+    because the grand total is available from the forward outputs:
+    S_total = g . rgb_out + T_fin * tct, so s_i = S_total - prefix_i.
+    """
+    tile_px = cfg.tile
+    gx = cfg.tiles_x
+
+    li = jax.lax.broadcasted_iota(jnp.int32, (n_px, 1), 0)
+    x_loc = (li % tile_px).astype(jnp.float32)
+    y_loc = (li // tile_px).astype(jnp.float32)
+    triu = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+            ).astype(jnp.bfloat16)
+
+    f = pl.program_id(0)
+    c = pl.program_id(1)
+    t = ctile_ref[f, c]
+    dead = t >= cfg.num_tiles          # chunk beyond every live segment
+
+    prev_t = jnp.where(c > 0, ctile_ref[f, jnp.maximum(c - 1, 0)], -1)
+    fresh = (c == 0) | (t != prev_t)
+
+    @pl.when(fresh)
+    def _():
+        state[...] = jnp.zeros_like(state)
+
+    # state rows: 0 = running prefix of w*r, 1 = logT, 2 = done flag
+    pref = state[0:1, :].T                          # (n_px, 1)
+    logT = state[1:2, :].T
+    done_col = state[2:3, :].T
+
+    gct = pix_ref[0, 0, 0:3, :].T                   # (n_px, 3)
+    tct = pix_ref[0, 0, 3:4, :].T
+    rgb_out = pix_ref[0, 0, 4:7, :].T
+    T_fin = pix_ref[0, 0, 7:8, :].T
+    # grand total of the suffix recurrence, from the forward outputs:
+    # sum_j w_j (g.c_j) + T_fin (g.bg + tct) = g.rgb_out + T_fin*tct
+    S_total = (jnp.sum(gct * rgb_out, axis=1, keepdims=True)
+               + T_fin * tct)                       # (n_px, 1)
+
+    ox = ((t % gx) * tile_px).astype(jnp.float32)
+    oy = ((t // gx) * tile_px).astype(jnp.float32)
+
+    skip = dead | (jnp.min(done_col) > 0.5)
+
+    @pl.when(skip)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.logical_not(skip))
+    def _():
+        G = recs_ref[0, 0]                          # (9, CHUNK)
+        # aligned stream: every lane of this chunk belongs to tile t; pad
+        # lanes carry gaussian -1 whose record is zeroed -> opacity 0
+        maskv = G[5:6, :] > 0.0
+        mx, my = G[0:1, :], G[1:2, :]
+        dx = (mx - ox) - x_loc                      # (n_px, CHUNK)
+        dy = (my - oy) - y_loc
+        A, B, C = G[2:3, :], G[3:4, :], G[4:5, :]
+        opac = G[5:6, :]
+        power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, opac * jnp.exp(power))
+        contrib = maskv & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        a = jnp.where(contrib, alpha, 0.0)
+        X = jnp.log1p(-a)
+        Xh = X.astype(jnp.bfloat16)
+        Xl = (X - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        incl = (jnp.dot(Xh, triu, preferred_element_type=jnp.float32)
+                + jnp.dot(Xl, triu, preferred_element_type=jnp.float32))
+        T_incl = jnp.exp(incl + logT)
+        done = (T_incl < T_EPS) | (done_col > 0.5)
+        live = 1.0 - done.astype(jnp.float32)
+        U = jnp.exp(incl - X + logT)                # exclusive prefix T
+        w = a * U * live                            # (n_px, CHUNK)
+
+        col = G[6:9, :]                             # (3, CHUNK)
+        r = jnp.dot(gct, col, preferred_element_type=jnp.float32)
+        wr = w * r
+        wh = wr.astype(jnp.bfloat16)
+        wl = (wr - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        pre = (jnp.dot(wh, triu, preferred_element_type=jnp.float32)
+               + jnp.dot(wl, triu, preferred_element_type=jnp.float32))
+        pre_incl = pre + pref                       # inclusive prefix of wr
+        s_after = S_total - pre_incl                # (n_px, CHUNK)
+        eff = a * live
+        ebar = U * r - s_after / (1.0 - eff)
+        abar = ebar * live * contrib.astype(jnp.float32)
+        q = abar * alpha * (alpha < ALPHA_MAX).astype(jnp.float32)
+
+        # per-entry reductions over pixels (all MXU)
+        cbar = jax.lax.dot_general(                 # (CHUNK, 3)
+            w, gct, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        basis = jnp.concatenate(
+            [jnp.ones_like(x_loc), x_loc, y_loc,
+             x_loc * x_loc, x_loc * y_loc, y_loc * y_loc], axis=1)
+        M = jax.lax.dot_general(                    # (CHUNK, 6)
+            q, basis, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        M0 = M[:, 0:1].T                            # (1, CHUNK)
+        Mx, My = M[:, 1:2].T, M[:, 2:3].T
+        Mxx, Mxy, Myy = M[:, 3:4].T, M[:, 4:5].T, M[:, 5:6].T
+        mlx, mly = mx - ox, my - oy                 # tile-local means
+        Sx = mlx * M0 - Mx
+        Sy = mly * M0 - My
+        mbar_x = -(A * Sx + B * Sy)
+        mbar_y = -(C * Sy + B * Sx)
+        Abar = -0.5 * (mlx * mlx * M0 - 2.0 * mlx * Mx + Mxx)
+        Bbar = -(mlx * mly * M0 - mlx * My - mly * Mx + Mxy)
+        Cbar = -0.5 * (mly * mly * M0 - 2.0 * mly * My + Myy)
+        obar = M0 / jnp.maximum(opac, 1e-6)
+        g9 = jnp.concatenate([
+            mbar_x, mbar_y, Abar, Bbar, Cbar,
+            cbar[:, 0:1].T, cbar[:, 1:2].T, cbar[:, 2:3].T, obar,
+        ], axis=0)                                  # (9, CHUNK)
+        out_ref[0, 0] = jnp.where(maskv, g9, 0.0)
+
+        state[0:1, :] = pre_incl[:, CHUNK - 1:CHUNK].T
+        state[1:2, :] = (logT + jnp.sum(X * live, axis=1, keepdims=True)).T
+        state[2:3, :] = done[:, CHUNK - 1:CHUNK].astype(jnp.float32).T
+
+
+def composite_bwd_pallas(proj: Projected, bins: EntryBins, cfg: RasterConfig,
+                         img_ct, T_ct, img_out, T_out,
+                         interpret=None):
+    """Gradients of composite_tiles_pallas w.r.t. the projected floats.
+
+    Args are single-frame or with one leading frame axis (matching the
+    forward).  Returns per-gaussian grads dict(mean2d, conic, color,
+    opacity) summed over frames.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_px = cfg.tile * cfg.tile
+    T = cfg.num_tiles
+    batched = proj.depth.ndim == 2
+    if not batched:
+        proj = jax.tree.map(lambda x: x[None], proj)
+        bins = jax.tree.map(lambda x: x[None], bins)
+        img_ct, T_ct = img_ct[None], T_ct[None]
+        img_out, T_out = img_out[None], T_out[None]
+    F = bins.starts.shape[0]
+    N = proj.depth.shape[1]
+    E = bins.gaussian.shape[1]
+    # chunk-align every tile segment: static padded budget
+    E_pad = E + T * CHUNK
+    NB = E_pad // CHUNK
+
+    def repack(b):
+        cnt = jnp.diff(b.starts)                                  # (T,)
+        acnt = (cnt + CHUNK - 1) // CHUNK * CHUNK
+        astarts = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(acnt).astype(jnp.int32)])                  # (T+1,)
+        idx = jnp.arange(E, dtype=jnp.int32)
+        tile_of = (jnp.searchsorted(b.starts, idx, side="right")
+                   .astype(jnp.int32) - 1)
+        tile_of = jnp.clip(tile_of, 0, T)
+        live = idx < b.starts[T]
+        dest = jnp.where(
+            live, astarts[jnp.minimum(tile_of, T - 1)]
+            + (idx - b.starts[jnp.minimum(tile_of, T - 1)]), E_pad)
+        ga = jnp.full((E_pad,), -1, jnp.int32).at[dest].set(
+            b.gaussian, mode="drop")
+        # chunk -> tile map (aligned): sentinel T for fully-dead chunks
+        cidx = jnp.arange(NB, dtype=jnp.int32) * CHUNK
+        ctile = (jnp.searchsorted(astarts, cidx, side="right")
+                 .astype(jnp.int32) - 1)
+        ctile = jnp.where(cidx < astarts[T], ctile, T)
+        return ga, astarts, ctile
+
+    ga, astarts, ctile = jax.vmap(repack)(bins)                   # (F, ...)
+
+    def prep(p, g):
+        packed = pack_records_bwd(p)                              # (N, 9)
+        recs = jnp.where((g >= 0)[:, None],
+                         packed[jnp.maximum(g, 0)], 0.0)          # (E_pad, 9)
+        return recs.reshape(NB, CHUNK, 9).transpose(0, 2, 1)
+
+    recs = jax.vmap(prep)(proj, ga)                               # (F,NB,9,128)
+
+    # per-tile pixel channels [gct(3), tct, rgb_out(3), T_fin] -> (F,T+1,8,npx)
+    def tiles_of(img, ch):
+        t, gxx, gyy = cfg.tile, cfg.tiles_x, cfg.tiles_y
+        pad_h, pad_w = gyy * t - cfg.height, gxx * t - cfg.width
+        img = jnp.pad(img, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        img = img.reshape(F, gyy, t, gxx, t, ch)
+        return img.transpose(0, 1, 3, 5, 2, 4).reshape(F, gyy * gxx, ch,
+                                                       n_px)
+
+    pix = jnp.concatenate([
+        tiles_of(img_ct, 3),
+        tiles_of(T_ct[..., None], 1),
+        tiles_of(img_out, 3),
+        tiles_of(T_out[..., None], 1),
+    ], axis=2)                                                    # (F,T,8,npx)
+    # sentinel tile T indexes one extra zero row
+    pix = jnp.concatenate([pix, jnp.zeros((F, 1, 8, n_px))], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,    # ctile, astarts
+        grid=(F, NB),
+        in_specs=[
+            pl.BlockSpec((1, 1, 9, CHUNK), lambda f, c, ct, st: (f, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, n_px),
+                         lambda f, c, ct, st: (f, ct[f, c], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 9, CHUNK),
+                               lambda f, c, ct, st: (f, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, n_px), jnp.float32),   # pref / logT / done
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg=cfg, n_px=n_px),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, NB, 9, CHUNK), jnp.float32),
+        interpret=interpret,
+    )(ctile, astarts, recs, pix)
+
+    g9 = out.transpose(0, 1, 3, 2).reshape(F, E_pad, 9)
+
+    def scatter(g, gsn):
+        ok = (gsn >= 0)[:, None]
+        return jnp.zeros((N, 9), jnp.float32).at[
+            jnp.maximum(gsn, 0)].add(jnp.where(ok, g, 0.0))
+
+    acc = jax.vmap(scatter)(g9, ga).sum(axis=0)
+    return dict(mean2d=acc[:, 0:2], conic=acc[:, 2:5],
+                color=acc[:, 5:8], opacity=acc[:, 8])
+
+
+
 def composite_tiles_pallas(proj: Projected, bins: EntryBins,
                            cfg: RasterConfig, semantics=None,
-                           interpret: bool = False,
+                           interpret=None,
                            tiles_per_program: int = 4):
     """Blend segment-packed entries into ((H, W, 3) image, (H, W)
     transmittance[, (H, W) int32 segmentation if ``semantics`` given]).
@@ -217,6 +481,8 @@ def composite_tiles_pallas(proj: Projected, bins: EntryBins,
     pixel, -1 where nothing dominates — the GS analog of the reference's
     obs_mode="rgb+segmentation" channel (gs_world_wrapper.py:168-173).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     T = cfg.num_tiles
     n_px = cfg.tile * cfg.tile
     while T % tiles_per_program:

@@ -54,11 +54,21 @@ def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
 
 
 def rollout_fps(wrapper, ep_len: int, seed: int = 0, warmup: int = 2,
-                use_scan: bool = False):
-    """Run the closed loop and return (fps, per-step seconds)."""
+                use_scan: bool = False, shard: bool = False):
+    """Run the closed loop and return (fps, per-step seconds).
+
+    ``shard=True`` splits the env axis across all visible devices
+    (dist.mesh env sharding over ICI); envs are embarrassingly parallel so
+    XLA partitions the whole fused step+render program with no cross-chip
+    collectives beyond the reduction that carries the timing dependency."""
     env = wrapper.env
     obs, _ = wrapper.reset(seed=seed)
     key = jax.random.PRNGKey(seed)
+
+    if shard:
+        from gsworld_tpu.dist.mesh import env_mesh, shard_env_axis
+        mesh = env_mesh()
+        env._state = shard_env_axis(env.state, mesh)
 
     if use_scan:
         # carry only env-0's last frame out of the scan (stacking every

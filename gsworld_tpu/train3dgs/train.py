@@ -28,7 +28,11 @@ from gsworld_tpu.gs.transform import PosedGaussians
 from gsworld_tpu.render.binning import bin_gaussians
 from gsworld_tpu.render.camera import GSCamera, RasterConfig
 from gsworld_tpu.render.project import project_gaussians
-from gsworld_tpu.render.rasterize import composite_tiles
+from gsworld_tpu.render.rasterize import (
+    _composite_pallas_diff,
+    _use_pallas,
+    composite_tiles,
+)
 from gsworld_tpu.train3dgs.densify import (
     DensifyState,
     accumulate_stats,
@@ -51,14 +55,28 @@ class TrainState(NamedTuple):
 def render_trainable(scene: GaussianScene, d2d, cam: GSCamera,
                      cfg: RasterConfig):
     """Forward render returning (image, radii); d2d is the zero viewspace
-    offset whose gradient is the densification statistic."""
+    offset whose gradient is the densification statistic.
+
+    Dispatches like render(): on TPU (or backend="pallas") both forward
+    and backward run the hand-written Pallas kernels
+    (rasterize_pallas._segment_kernel / _bwd_kernel); the XLA path with
+    its hand-derived custom VJP remains the CPU/test reference."""
     posed = PosedGaussians(
         means=scene.means, log_scales=scene.log_scales, quats=scene.quats,
         logit_opacities=scene.logit_opacities)
     proj = project_gaussians(posed, cam, cfg, scene.sh0, scene.shN)
     proj = proj._replace(mean2d=proj.mean2d + d2d)
-    bins = bin_gaussians(proj, cfg)
-    img, _ = composite_tiles(proj, bins, cfg)
+    if _use_pallas(cfg):
+        from gsworld_tpu.render.binning import bin_entries
+        ebins = bin_entries(proj, cfg)
+        floats = dict(mean2d=proj.mean2d, conic=proj.conic,
+                      color=proj.color, opacity=proj.opacity)
+        aux = (proj.radius, jax.lax.stop_gradient(proj.depth), proj.rect,
+               ebins)
+        img, _ = _composite_pallas_diff(cfg, floats, aux)
+    else:
+        bins = bin_gaussians(proj, cfg)
+        img, _ = composite_tiles(proj, bins, cfg)
     return img, proj.radius
 
 
