@@ -40,6 +40,13 @@ def detect_aruco_corners_cv2(image, dict_type: str = "DICT_4X4_1000"):
     return np.asarray(corners[0][0], np.float64)       # (4, 2)
 
 
+def _detect_one(path: str):
+    """Pool worker: load an image and detect marker corners (or None)."""
+    from PIL import Image
+    img = np.asarray(Image.open(path))
+    return detect_aruco_corners_cv2(img)
+
+
 def ray_cast_corners(c2w: np.ndarray, K: np.ndarray, corners: np.ndarray):
     """Camera origin + unit rays through the 4 marker corners
     (aruco.py:25-40: n = x @ K^-1.T @ R.T with R = c2w rotation)."""
@@ -96,22 +103,31 @@ class ArucoScaleFactor:
             os.path.join(model_dir, "points3D.txt"))
 
     def collect_tracks(self, corner_tracks: Optional[Dict[str, np.ndarray]]
-                       = None):
+                       = None, num_procs: Optional[int] = None):
         """(origins (M,3), rays (M,4,3)); corner_tracks maps image name ->
-        (4, 2) pixel corners (auto-detected via cv2 if not given)."""
+        (4, 2) pixel corners.
+
+        When not given, detection fans out over a process pool like the
+        reference (aruco_scale_factor.py:136-139, Pool(min(12, cpus)));
+        num_procs=1 forces in-process detection."""
+        if corner_tracks is None:
+            names = [im.name for im in self.images.values()]
+            paths = [os.path.join(self.image_dir, n) for n in names]
+            if num_procs is None:
+                num_procs = min(12, os.cpu_count() or 1)
+            if num_procs > 1 and len(paths) > 1:
+                import multiprocessing as mp
+                with mp.get_context("spawn").Pool(num_procs) as pool:
+                    detected = pool.map(_detect_one, paths)
+            else:
+                detected = [_detect_one(p) for p in paths]
+            corner_tracks = {n: c for n, c in zip(names, detected)
+                             if c is not None}
         origins, rays = [], []
         for im in self.images.values():
-            if corner_tracks is not None:
-                if im.name not in corner_tracks:
-                    continue
-                corners = np.asarray(corner_tracks[im.name], np.float64)
-            else:
-                from PIL import Image
-                img = np.asarray(Image.open(
-                    os.path.join(self.image_dir, im.name)))
-                corners = detect_aruco_corners_cv2(img)
-                if corners is None:
-                    continue
+            if im.name not in corner_tracks:
+                continue
+            corners = np.asarray(corner_tracks[im.name], np.float64)
             K = self.cameras[im.camera_id].K
             o, r = ray_cast_corners(im.c2w(), K, corners)
             origins.append(o)
