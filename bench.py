@@ -47,6 +47,8 @@ def main():
         tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", "16")),
         max_tiles_per_gaussian=int(os.environ.get("BENCH_MAX_TILES", "16")),
         active_budget_frac=float(os.environ.get("BENCH_BUDGET", "1.0")),
+        tile=int(os.environ.get("BENCH_TILE", "32")),
+        max_entries=1 << int(os.environ.get("BENCH_LOG2_ENTRIES", "18")),
         synthetic_scale=synthetic_scale)
     shard = (os.environ.get("BENCH_SHARD", "0") == "1"
              and len(jax.devices()) > 1)

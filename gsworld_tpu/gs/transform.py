@@ -80,26 +80,58 @@ def repose_scene(scene: GaussianScene, slots: SlotTransforms) -> PosedGaussians:
 
     Fully batched: for stack shapes (B, S, ...) the output has a leading
     (B,) env axis. Slot 0 must hold the identity transform.
+
+    Slot rotations convert to quaternions ONCE per slot and everything
+    per-gaussian runs as componentwise math on (..., N) arrays: gathering
+    (..., N, 3, 3) matrices forces XLA into lane-padded layouts on the
+    tiny trailing dims (~12 ms/step at 4 envs x 222k gaussians, the #2
+    hot spot of the fused step); the component form is pure 128-lane
+    elementwise work.
     """
     sid = scene.slot_ids                      # (N,)
-    R = slots.R[..., sid, :, :]               # (..., N, 3, 3)
-    t = slots.t[..., sid, :]                  # (..., N, 3)
+    q_slot = matrix_to_quat(slots.R)          # (..., S, 4) tiny
     s = slots.scale[..., sid]                 # (..., N)
     scaled = slots.apply_scale[sid]           # (N,) bool
 
+    def gat(x):                               # (..., S) -> (..., N)
+        return x[..., sid]
+
+    qw, qx = gat(q_slot[..., 0]), gat(q_slot[..., 1])
+    qy, qz = gat(q_slot[..., 2]), gat(q_slot[..., 3])
+    tx, ty = gat(slots.t[..., 0]), gat(slots.t[..., 1])
+    tz = gat(slots.t[..., 2])
+
     # scale path (objects): x *= s ; log-scale via the reference logit rule
     eff_s = jnp.where(scaled, s, jnp.ones_like(s))
-    means = scene.means * eff_s[..., None]
+    mx = scene.means[:, 0] * eff_s
+    my = scene.means[:, 1] * eff_s
+    mz = scene.means[:, 2] * eff_s
     log_scales = jnp.where(
         scaled[..., None],
         inverse_sigmoid(jnp.exp(scene.log_scales) * s[..., None]),
         jnp.broadcast_to(scene.log_scales, s.shape + (3,)),
     )
 
-    # rotate + translate
-    means = _einsum("...nij,...nj->...ni", R, means) + t
-    q_r = matrix_to_quat(R)
-    quats = quat_compose_preserving_norm(q_r, scene.quats)
+    # rotate (v' = v + 2 w (qv x v) + 2 qv x (qv x v)) + translate
+    cx = qy * mz - qz * my
+    cy = qz * mx - qx * mz
+    cz = qx * my - qy * mx
+    ox = mx + 2.0 * (qw * cx + qy * cz - qz * cy) + tx
+    oy = my + 2.0 * (qw * cy + qz * cx - qx * cz) + ty
+    oz = mz + 2.0 * (qw * cz + qx * cy - qy * cx) + tz
+    means = jnp.stack([ox, oy, oz], axis=-1)
+
+    # orientation: quat_multiply(q_slot, q/|q|) * |q| (gs_utils.py:225-231)
+    gw, gx = scene.quats[:, 0], scene.quats[:, 1]
+    gy, gz = scene.quats[:, 2], scene.quats[:, 3]
+    norm = jnp.sqrt(gw * gw + gx * gx + gy * gy + gz * gz)
+    inv = 1.0 / jnp.maximum(norm, 1e-12)
+    nw, nx, ny, nz = gw * inv, gx * inv, gy * inv, gz * inv
+    rw = (qw * nw - qx * nx - qy * ny - qz * nz) * norm
+    rx = (qw * nx + qx * nw + qy * nz - qz * ny) * norm
+    ry = (qw * ny - qx * nz + qy * nw + qz * nx) * norm
+    rz = (qw * nz + qx * ny - qy * nx + qz * nw) * norm
+    quats = jnp.stack([rw, rx, ry, rz], axis=-1)
 
     opac = jnp.broadcast_to(scene.logit_opacities, s.shape)
     return PosedGaussians(means=means, log_scales=log_scales,

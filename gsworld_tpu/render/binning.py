@@ -45,11 +45,18 @@ class EntryBins(NamedTuple):
     The Pallas compositor walks ``gaussian[starts[t]:starts[t+1]]`` per tile
     (the TPU analog of the CUDA kernel's per-tile range indirection into the
     radix-sorted key array) — no dense (T, K) table is ever materialized.
+
+    ``payload`` optionally carries per-entry record columns that rode the
+    sort (see bin_entries(payload=...)): a post-sort random row gather of
+    the records runs at DRAM-latency speed (~5.6 ms per frame at E=2^19,
+    the hottest op of the round-1 render), while pushing the columns
+    through the sort network is bandwidth-bound.
     """
 
     gaussian: jnp.ndarray  # (E,) int32 gaussian index per entry
     starts: jnp.ndarray    # (T+1,) int32 per-tile segment starts into gaussian
     overflow: jnp.ndarray  # () int32 entries dropped by the D / E caps
+    payload: tuple = ()    # sorted per-entry record columns ((E,) f32 each)
 
 
 def _two_level_searchsorted(sorted_arr, queries, stride: int = 128):
@@ -133,6 +140,10 @@ def bin_entries(proj: Projected, cfg: RasterConfig) -> EntryBins:
     live = (g_rank >= 0) & (e_idx < m[:, 5])                   # < segment end
     tile = jnp.where(live, tile, T)                            # sentinel
 
+    # gidx (and optional record columns, expanded N->E with the same
+    # soft-sequential rank gather the meta row uses) ride the sort as
+    # payload: moving data through the sort network is bandwidth-bound,
+    # while post-sort random row gathers are DRAM-latency-bound
     # gidx rides the sort as a payload: ~18% extra sort cost vs a ~4 ms
     # post-sort (E,) gather (scalar gathers are latency-per-row-bound)
     key, gaussian = jax.lax.sort(
@@ -146,6 +157,131 @@ def bin_entries(proj: Projected, cfg: RasterConfig) -> EntryBins:
                 + jnp.maximum(total - E, 0))
     return EntryBins(gaussian=gaussian.astype(jnp.int32), starts=starts,
                      overflow=overflow)
+
+
+def bin_entries_fused(proj: Projected, cfg: RasterConfig,
+                      record_cols) -> EntryBins:
+    """Segment-packed binning that carries per-entry record columns
+    through to the compositor with NO permutation gathers.
+
+    The classic pipeline (bin_entries + a post-sort record gather) pays
+    DRAM latency or lane-padded-layout taxes three times over: a depth
+    permutation row gather at N scale, an N->E expansion row gather, and
+    either a random post-sort gather or per-column slices of wide (E, P)
+    arrays.  This variant:
+
+      1. emits entries in ORIGINAL gaussian order (no depth argsort of
+         the record data — depth ordering is restored by the final sort
+         keying on (tile, view depth) directly, the CUDA radix-sort key);
+      2. enforces the entry budget farthest-first by zeroing the counts
+         of gaussians whose depth rank exceeds the budget threshold
+         (one (N,) argsort + one 1-D gather — the only gathers left);
+      3. builds a compact (16, Nemit) column table with ascending-index
+         scatters and expands it to per-entry columns with the
+         merge-join Pallas kernel (rasterize_pallas.expand_entry_columns:
+         compact ranks advance <=1 per entry, so each 128-entry chunk
+         reads one contiguous window and selects with a one-hot MXU
+         matmul);
+      4. sorts (tile, depth, gid, record columns) in one multi-operand
+         lax.sort — every operand a contiguous (E,) array.
+
+    ``record_cols`` is a tuple of (N,) f32 arrays in original gaussian
+    order (rasterize_pallas.pack_record_columns).
+    """
+    import numpy as _np
+
+    # binning is integer plumbing (indices, keys, a detached record
+    # payload): never differentiated, exactly like the CUDA dup+sort stage
+    proj = jax.lax.stop_gradient(proj)
+    record_cols = jax.tree.map(jax.lax.stop_gradient, tuple(record_cols))
+
+    n = proj.depth.shape[0]
+    D = cfg.max_tiles_per_gaussian
+    E = cfg.max_entries
+    T = cfg.num_tiles
+    gx = cfg.tiles_x
+    assert E % 128 == 0, "max_entries must be a multiple of 128"
+
+    rect = proj.rect
+    w = rect[:, 2] - rect[:, 0]
+    area = w * (rect[:, 3] - rect[:, 1])
+    cnt = jnp.clip(area, 0, D)
+
+    # farthest-first budget: depth rank of each gaussian; zero the counts
+    # of gaussians whose cumulative entry demand exceeds E
+    order = jnp.argsort(proj.depth).astype(jnp.int32)
+    cnt_by_rank = cnt[order]                                   # 1-D gather
+    csum = jnp.cumsum(cnt_by_rank)
+    n_keep = jnp.searchsorted(csum, E, side="right")
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    cnt_b = jnp.where(rank < n_keep, cnt, 0)
+
+    emit = cnt_b > 0
+    crank = jnp.cumsum(emit.astype(jnp.int32)) - 1             # (n,)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(cnt_b)[:-1].astype(jnp.int32)])
+
+    # compact (R, Npad) column table: ONE int index-scatter builds the
+    # compact->original map, then each row is an ascending 1-D gather
+    # (TPU scatters measured ~8x slower than gathers; 16 value-scatters
+    # here cost ~20 ms/frame)
+    npad = ((n + 127) // 128 + 1) * 128
+    pos = jnp.where(emit, crank, npad - 1)
+    inv = jnp.full((npad,), n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    ok = inv < n
+    safe = jnp.minimum(inv, n - 1)
+
+    rows = [rect[:, 0], rect[:, 1], jnp.maximum(w, 1), offs, offs + cnt_b,
+            jnp.arange(n), proj.depth] + list(record_cols)
+    R = 16
+    table = jnp.stack([r.astype(jnp.float32) for r in rows]
+                      + [jnp.zeros((n,), jnp.float32)] * (R - len(rows)),
+                      axis=1)                                  # (n, R)
+    meta = jnp.where(ok[:, None], table[safe], 0.0).T          # (R, npad)
+
+    # per-entry compact rank: scatter segment-start markers + prefix max
+    mark_pos = jnp.where(emit, offs, E)
+    markers = jnp.full((E,), -1, jnp.int32).at[mark_pos].set(
+        crank, mode="drop")
+    g_crank = jnp.maximum(jax.lax.cummax(markers, axis=0), 0)
+
+    from gsworld_tpu.render.rasterize_pallas import expand_entry_columns
+    cols = expand_entry_columns(meta, g_crank)                 # (E/C, R, C)
+
+    def col(j, dtype=jnp.float32):
+        c = cols[:, j, :].reshape(E)
+        return c.astype(dtype) if dtype != jnp.float32 else c
+
+    x0 = col(0, jnp.int32)
+    y0 = col(1, jnp.int32)
+    wq = col(2, jnp.int32)
+    offs_e = col(3, jnp.int32)
+    end_e = col(4, jnp.int32)
+    gid = col(5)
+    depth_e = col(6)
+
+    e_idx = jnp.arange(E, dtype=jnp.int32)
+    d = e_idx - offs_e
+    dy = d // jnp.maximum(wq, 1)
+    tile = (y0 + dy) * gx + x0 + (d - dy * wq)
+    live = e_idx < end_e
+    tile = jnp.where(live, tile, T)
+
+    n_rec = len(record_cols)
+    operands = (tile, jnp.where(live, depth_e, _np.float32(_np.inf)), gid) \
+        + tuple(cols[:, 7 + j, :].reshape(E) for j in range(n_rec))
+    out = jax.lax.sort(operands, num_keys=2, is_stable=False)
+    tile_s, gid_s = out[0], out[2]
+    starts = _two_level_searchsorted(
+        tile_s, jnp.arange(T + 1, dtype=jnp.int32)).astype(jnp.int32)
+
+    overflow = (jnp.sum(jnp.maximum(area, 0)
+                        - jnp.minimum(jnp.maximum(area, 0), D))
+                + jnp.sum(cnt - cnt_b))
+    return EntryBins(gaussian=gid_s.astype(jnp.int32), starts=starts,
+                     overflow=overflow, payload=tuple(out[3:]))
 
 
 def bin_gaussians(proj: Projected, cfg: RasterConfig) -> TileBins:

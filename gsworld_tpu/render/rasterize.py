@@ -371,9 +371,18 @@ def render(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
     if color_tint is not None:
         proj = proj._replace(color=proj.color * color_tint)
     if _use_pallas(cfg):
-        from gsworld_tpu.render.binning import bin_entries
-        from gsworld_tpu.render.rasterize_pallas import composite_tiles_pallas
-        ebins = bin_entries(proj, cfg)
+        from gsworld_tpu.render.binning import bin_entries_fused
+        from gsworld_tpu.render.rasterize_pallas import (
+            composite_tiles_pallas,
+            pack_record_columns,
+        )
+        # binning (indices + the detached record payload) is integer
+        # plumbing outside the differentiable path; gradients flow through
+        # the custom-VJP floats below, exactly like the CUDA sort stage
+        ebins = bin_entries_fused(
+            proj, cfg,
+            jax.tree.map(jax.lax.stop_gradient,
+                         pack_record_columns(proj, semantics)))
         if semantics is not None:
             img, _, seg = composite_tiles_pallas(proj, ebins, cfg,
                                                  semantics=semantics)

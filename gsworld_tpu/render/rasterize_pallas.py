@@ -4,12 +4,15 @@ TPU counterpart of the CUDA per-tile compositing loop
 (diff-gaussian-rasterization forward; SURVEY.md §2.3 row 1), built on the
 segment-packed entry stream from ``binning.bin_entries``:
 
-  * projection packs ONE (N, 8) f32 per-gaussian record:
-    [mx, my, A, B, C(conic), opacity, rgb10(bitcast), semantic] — RGB is
-    3x10-bit fixed point in one lane (<=0.4% color error);
-  * records are gathered once into (tile, depth)-sorted entry order and
-    re-blocked to (E/128, 8, 128) — fields on sublanes, entries on lanes —
-    so each 128-entry chunk is one 4 KB contiguous DMA;
+  * projection packs ONE (N, 9) f32 per-gaussian record:
+    [mx, my, A, B, C(conic), opacity, r|g, b, semantic] — RGB is 3x10-bit
+    fixed point carried as exact integer-valued floats (<=0.4% color
+    error; bitcast packings alias NaN encodings the TPU sort/matmul
+    canonicalize);
+  * records reach sorted-entry order by riding the binning sort as
+    payload columns (bin_entries_fused) and re-block to (E/128, 9, 128)
+    — fields on sublanes, entries on lanes — so each 128-entry chunk is
+    one contiguous DMA;
   * the kernel walks each tile's segment [starts[t], starts[t+1]) (scalar-
     prefetched starts = the CUDA per-tile range indirection) with chunked
     double-buffered HBM->VMEM DMA, overlapping copy and compute;
@@ -49,40 +52,127 @@ ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 ALPHA_MAX = 0.99
 CHUNK = 128
-REC_W = 8   # f32 record width
+REC_W = 9   # f32 record width
 COLOR_MAX = 4.0
 _Q = 1023.0
 SEG_NONE = -1.0  # background semantic id
 
 # record rows: 0 mx, 1 my, 2 A, 3 B, 4 C (conic), 5 opacity,
-#              6 rgb 3x10-bit (bitcast uint32), 7 semantic id
+#              6 r|g 2x10-bit, 7 b 10-bit, 8 semantic id.
+# Color bits ride as exact INTEGER-VALUED floats (<= 2^20), never as
+# bitcast patterns: bitcast rgb30 floats alias NaN/inf encodings that the
+# TPU sort network and the expansion kernel's matmul silently canonicalize
+# (colors corrupt while geometry survives — a ~13 dB image).
 
 
-def pack_records(proj: Projected, semantics=None) -> jnp.ndarray:
-    """(N, 8) f32 per-gaussian record table (computed densely, no gather)."""
+def pack_record_columns(proj: Projected, semantics=None):
+    """The REC_W per-gaussian record columns as a tuple of (N,) f32
+    arrays in original gaussian order (no stacking — bin_entries_fused
+    packs them into its compact column table directly)."""
     n = proj.depth.shape[0]
     valid = proj.radius > 0
     c = jnp.clip(proj.color / COLOR_MAX, 0.0, 1.0)
     q = jnp.round(c * _Q).astype(jnp.uint32)
-    rgb_bits = q[:, 0] | (q[:, 1] << 10) | (q[:, 2] << 20)
+    rg = (q[:, 0] | (q[:, 1] << 10)).astype(jnp.float32)   # exact <= 2^20
+    b = q[:, 2].astype(jnp.float32)
     opac = jnp.where(valid, proj.opacity, 0.0)
     sem = (jnp.full((n,), SEG_NONE, jnp.float32) if semantics is None
            else semantics.astype(jnp.float32))
-    return jnp.stack([
-        proj.mean2d[:, 0], proj.mean2d[:, 1],
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-        opac,
-        jax.lax.bitcast_convert_type(rgb_bits, jnp.float32),
-        sem,
-    ], axis=1)
+    return (proj.mean2d[:, 0], proj.mean2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            opac, rg, b, sem)
+
+
+def pack_records(proj: Projected, semantics=None) -> jnp.ndarray:
+    """(N, REC_W) f32 per-gaussian record table (fallback gather path)."""
+    return jnp.stack(pack_record_columns(proj, semantics), axis=1)
 
 
 def _prep_entry_records(proj: Projected, bins: EntryBins, semantics):
-    """Gather records into sorted-entry order, blocked (E/128, 8, 128)."""
+    """Records in sorted-entry order, blocked (E/128, REC_W, 128).
+
+    When the records rode the sort as payload columns (bin_entries
+    payload=...), each sorted column reshapes straight into its sublane
+    row of the blocked layout — no post-sort gather, no row-major
+    transpose.  Fallback: one (E, 8) row gather (DRAM-latency-bound,
+    ~5.6 ms/frame at E=2^19 — why the payload path exists)."""
+    if bins.payload:
+        E = bins.payload[0].shape[0]
+        return jnp.concatenate(
+            [c.reshape(E // CHUNK, 1, CHUNK) for c in bins.payload], axis=1)
     packed = pack_records(proj, semantics)          # (N, 8)
     recs = packed[bins.gaussian]                    # (E, 8) ONE row gather
     E = recs.shape[0]
     return recs.reshape(E // CHUNK, CHUNK, REC_W).transpose(0, 2, 1)
+
+
+def _expand_kernel(r0_ref, meta_hbm, crank_ref, out_ref, win, sem, *,
+                   n_rows: int):
+    """Expand per-gaussian columns to per-entry columns (merge join).
+
+    Entry chunk c needs meta columns for compact ranks
+    [crank[c*C], crank[c*C]+C) — a CONTIGUOUS window, because compact
+    ranks advance by at most one per entry.  Two block-aligned window
+    DMAs (Mosaic rejects dynamic lane offsets, so the window is the two
+    128-lane blocks covering it) plus a one-hot MXU matmul replace the
+    XLA row-gather + transpose + column-slice pipeline whose lane-padded
+    minor-dim layouts ran ~50x below memory speed (~5 ms/frame, E=2^18).
+    """
+    c = pl.program_id(0)
+    r0 = r0_ref[c]
+    b0 = r0 // CHUNK
+    cp0 = pltpu.make_async_copy(meta_hbm.at[:, b0],
+                                win.at[:, 0:CHUNK], sem.at[0])
+    cp1 = pltpu.make_async_copy(meta_hbm.at[:, b0 + 1],
+                                win.at[:, CHUNK:2 * CHUNK], sem.at[1])
+    cp0.start()
+    cp1.start()
+    ranks = crank_ref[0]                              # (1, CHUNK) int32
+    row = jax.lax.broadcasted_iota(jnp.int32, (2 * CHUNK, CHUNK), 0)
+    onehot = (row == (ranks - b0 * CHUNK)).astype(jnp.float32)
+    cp0.wait()
+    cp1.wait()
+    # HIGHEST precision: default MXU bf16 input rounding corrupts exact
+    # integer-valued columns (offsets up to E ~ 2^18 need 18 mantissa
+    # bits) and the f32 record fields
+    out_ref[0] = jax.lax.dot_general(
+        win[...], onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)           # (n_rows, CHUNK)
+
+
+def expand_entry_columns(meta, crank, interpret=None):
+    """meta (R, Npad) f32, crank (E,) int32 (nondecreasing compact rank,
+    +1 max per step) -> (R, E) per-entry expansion, as an (E/C, R, C)
+    blocked array."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    R, npad = meta.shape
+    E = crank.shape[0]
+    NB = E // CHUNK
+    r0 = crank[:: CHUNK]                              # (NB,)
+    meta = meta.reshape(R, npad // CHUNK, CHUNK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, CHUNK), lambda c, s: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, CHUNK), lambda c, s: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, 2 * CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_expand_kernel, n_rows=R),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NB, R, CHUNK), jnp.float32),
+        interpret=interpret,
+    )(r0, meta, crank.reshape(NB, 1, CHUNK))
 
 
 def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
@@ -152,23 +242,20 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
             done = (T_incl < T_EPS) | (done_col > 0.5)     # (n_px, CHUNK)
             live = 1.0 - done.astype(jnp.float32)
             w = a * jnp.exp(incl - X + logT) * live        # (n_px, CHUNK)
-            # decode 3x10-bit colors -> (3, CHUNK)
-            bits = pltpu.bitcast(G[6:7, :], jnp.uint32)
+            # decode integer-valued 10-bit color fields -> (3, CHUNK)
+            rg = G[6:7, :].astype(jnp.int32)
             scale = COLOR_MAX / _Q
-            # Mosaic has no uint32->f32 cast; the 10-bit fields fit int32
             col = jnp.concatenate([
-                (bits & 0x3FF).astype(jnp.int32).astype(jnp.float32) * scale,
-                ((bits >> 10) & 0x3FF).astype(jnp.int32).astype(jnp.float32)
-                * scale,
-                ((bits >> 20) & 0x3FF).astype(jnp.int32).astype(jnp.float32)
-                * scale,
+                (rg & 0x3FF).astype(jnp.float32) * scale,
+                (rg >> 10).astype(jnp.float32) * scale,
+                G[7:8, :] * scale,
             ], axis=0)                                     # (3, CHUNK)
             rgb_acc = rgb_acc + jax.lax.dot_general(
                 w, col, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             if with_seg:
                 wmax = jnp.max(w, axis=1, keepdims=True)   # (n_px, 1)
-                cand = jnp.max(jnp.where(w >= wmax, G[7:8, :], -jnp.inf),
+                cand = jnp.max(jnp.where(w >= wmax, G[8:9, :], -jnp.inf),
                                axis=1, keepdims=True)
                 better = wmax > best_w
                 best_w = jnp.where(better, wmax, best_w)

@@ -26,7 +26,8 @@ def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
           control_freq: int, width: int, height: int, max_per_tile: int,
           tile_chunk: int, synthetic_scale: float = 1.0,
           obs_mode: str = "rgb", max_tiles_per_gaussian: int = 16,
-          active_budget_frac: float = 1.0):
+          active_budget_frac: float = 1.0, tile: int = 16,
+          max_entries: int = 1 << 19):
     import dataclasses
 
     from gsworld_tpu import envs
@@ -48,7 +49,8 @@ def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
                                    max_per_tile=max_per_tile,
                                    max_tiles_per_gaussian=max_tiles_per_gaussian,
                                    active_budget_frac=active_budget_frac,
-                                   tile_chunk=tile_chunk),
+                                   tile_chunk=tile_chunk, tile=tile,
+                                   max_entries=max_entries),
         synthetic_sizes=sizes)
     return env, wrapper
 

@@ -67,8 +67,12 @@ def render_trainable(scene: GaussianScene, d2d, cam: GSCamera,
     proj = project_gaussians(posed, cam, cfg, scene.sh0, scene.shN)
     proj = proj._replace(mean2d=proj.mean2d + d2d)
     if _use_pallas(cfg):
-        from gsworld_tpu.render.binning import bin_entries
-        ebins = bin_entries(proj, cfg)
+        from gsworld_tpu.render.binning import bin_entries_fused
+        from gsworld_tpu.render.rasterize_pallas import pack_record_columns
+        ebins = bin_entries_fused(
+            proj, cfg,
+            jax.tree.map(jax.lax.stop_gradient,
+                         pack_record_columns(proj, None)))
         floats = dict(mean2d=proj.mean2d, conic=proj.conic,
                       color=proj.color, opacity=proj.opacity)
         aux = (proj.radius, jax.lax.stop_gradient(proj.depth), proj.rect,

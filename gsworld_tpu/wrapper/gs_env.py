@@ -244,8 +244,14 @@ class GSWorldWrapper:
             )(posed, gs_cams)                              # (B, C, N, ...)
             proj = jax.tree.map(
                 lambda x: x.reshape((B * C,) + x.shape[2:]), proj)
-            bins = jax.vmap(lambda p: bin_entries(p, cfg))(proj)
             sem = self.scene.semantics if want_seg else None
+            from gsworld_tpu.render.binning import bin_entries_fused
+            from gsworld_tpu.render.rasterize_pallas import (
+                pack_record_columns,
+            )
+            bins = jax.vmap(
+                lambda p: bin_entries_fused(
+                    p, cfg, pack_record_columns(p, sem)))(proj)
             outs = composite_tiles_pallas(proj, bins, cfg, semantics=sem)
             imgs = jnp.clip(outs[0] * 255.0, 0, 255).astype(jnp.uint8)
             imgs = imgs.reshape(B, C, cams[0].height, cams[0].width, 3)

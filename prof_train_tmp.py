@@ -42,14 +42,14 @@ for backend in ("pallas", "xla"):
     target = jnp.clip(jnp.asarray(
         rng.random((480, 640, 3), np.float32)), 0, 1)
     st2, loss, img = step(st, cam, target)
-    jax.block_until_ready(loss)
+    jax.block_until_ready(st2)
     ts = []
     stt = st
     for i in range(8):
         tgt = target + (i * 1e-4)
         t0 = time.perf_counter()
         stt, loss, img = step(stt, cam, tgt)
-        jax.block_until_ready(loss)
+        _ = float(jnp.sum(stt.scene.means)) + float(loss)
         ts.append(time.perf_counter() - t0)
     ts = np.asarray(ts) * 1e3
     print(f"{backend:7s} train step: p50 {np.percentile(ts, 50):7.1f} ms  "

@@ -36,7 +36,9 @@ def _setup(n=400, seed=0, **cfg_kw):
     w2c[2, 3] = 2.0
     cam = make_camera(w2c, 0.5, 0.5)
     cfg_kw.setdefault("max_tiles_per_gaussian", 64)
-    cfg = RasterConfig(width=64, height=48, max_per_tile=256, tile_chunk=4,
+    # max_per_tile must not bind for the XLA/pallas entry sets to match:
+    # at the tile=32 default a single tile can hold every test gaussian
+    cfg = RasterConfig(width=64, height=48, max_per_tile=512, tile_chunk=4,
                        max_entries=2048, **cfg_kw)
     proj = project_gaussians(g, cam, cfg, sh0, shN)
     return proj, cfg
