@@ -33,6 +33,15 @@ class RealFr3(GsBaseEnv):
                        mount_link=self.agent.base_link, local_pose=right_pose),
         ]
 
+    def _default_human_render_camera_configs(self):
+        # 640x480 real-intrinsics human render camera looking at the
+        # workspace (reference real_fr3_env.py:61-68)
+        from gsworld_tpu.envs.base import look_at_sapien
+        return [CameraSpec(
+            "render_camera", 640, 480, constants.rs_d435i_rgb_k,
+            mount_link=None,
+            local_pose=look_at_sapien([1.0, 0.2, 0.5], [0.0, 0.0, 0.15]))]
+
     def _initialize_episode(self, key):
         from gsworld_tpu.envs.base import EpisodeInit
         import jax.numpy as jnp

@@ -127,7 +127,8 @@ def reconstruct_scene(data_dir: str, model_dir: str,
                       export_ply: Optional[str] = None,
                       scene_config: Optional[str] = None,
                       capacity: Optional[int] = None,
-                      log_every: int = 500) -> ReconstructionResult:
+                      log_every: int = 500,
+                      backend: str = "auto") -> ReconstructionResult:
     """Full images -> trained scene pipeline (colmap_and_gs.sh:100-156).
 
     ``data_dir`` holds ``images/`` and (after SfM) ``sparse/0``; the
@@ -157,7 +158,9 @@ def reconstruct_scene(data_dir: str, model_dir: str,
     imgs = _load_images(os.path.join(data_dir, "images"), names,
                         width, height)
 
-    cfg = RasterConfig(width=width, height=height, backend="xla")
+    # backend="auto" dispatches to the Pallas fwd+bwd kernels on TPU
+    # (rasterize._use_pallas) and the XLA compositor on CPU
+    cfg = RasterConfig(width=width, height=height, backend=backend)
     scene, losses = train_from_colmap_model(
         xyz, rgb, cams, imgs, cfg, iterations=iterations,
         capacity=capacity, log_every=log_every)

@@ -214,7 +214,6 @@ class GSWorldWrapper:
         if same_size and self.batch_frames and tint_slots is None \
                 and self.raster_config.backend != "xla" \
                 and jax.default_backend() not in ("cpu",):
-            from gsworld_tpu.render.binning import bin_entries
             from gsworld_tpu.render.project import project_gaussians
             from gsworld_tpu.render.rasterize_pallas import (
                 composite_tiles_pallas,
