@@ -94,6 +94,13 @@ class PhysicsScene:
     kp: np.ndarray = None              # (dof,) PD gains
     kd: np.ndarray = None
     force_limit: np.ndarray = None
+    # ManiSkill controllers balance the robot's passive forces every sim
+    # step (set_qf(compute_passive_force()) — gravity + coriolis applied
+    # as unclipped external qf); without it the kp=1e3 arm sags ~1.5 cm
+    # at the TCP, which breaks tight grasps (UMI opening 8 cm vs 6.6 cm
+    # can). Mirrors balance_passive_force=True of the reference's PD
+    # controller configs (fr3_umi.py:65-138).
+    compensate_passive: bool = True
     sim_freq: int = 120
     control_freq: int = 40
 
@@ -178,12 +185,11 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
                       & (a_pts_w[None, :, :, 1] >= planes[:, 6, None, None])
                       & (a_pts_w[None, :, :, 1] <= planes[:, 7, None, None]))
             pen = jnp.where(inside, pen, -1.0)
-        # patch reduction: keep the R deepest points per (plane, actor)
+        # patch reduction: deepest + greedy max-spread (C.reduce_patch)
         R = min(scene.solver.contact_patch, K)
-        pen, top = jax.lax.top_k(pen, R)                   # (P, A, R)
-        pos = jnp.take_along_axis(
-            jnp.broadcast_to(a_pts_w[None], (P, A, K, 3)),
-            top[..., None], axis=2)
+        pts_b = jnp.broadcast_to(a_pts_w[None], (P, A, K, 3))
+        pen, top = C.reduce_patch(pen, pts_b, R)           # (P, A, R)
+        pos = jnp.take_along_axis(pts_b, top[..., None], axis=2)
         nrm = jnp.broadcast_to(planes[:, None, None, :3], (P, A, R, 3))
         body_a = jnp.broadcast_to(
             (L + jnp.arange(A, dtype=jnp.int32))[None, :, None], (P, A, R))
@@ -274,8 +280,8 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
         pen = jnp.where(ok, pen, -1.0)
         nrm = jnp.broadcast_to(n_win[:, None, :], src_pts.shape)
         pos = src_pts
-        # patch reduction: R deepest points per directed query
-        pen, top = jax.lax.top_k(pen, R)                  # (Q, R)
+        # patch reduction: deepest + greedy max-spread (C.reduce_patch)
+        pen, top = C.reduce_patch(pen, pos, R)            # (Q, R)
         nrm = jnp.take_along_axis(nrm, top[..., None], axis=1)
         pos = jnp.take_along_axis(pos, top[..., None], axis=1)
         sets.append(C.ContactSet(
@@ -496,15 +502,24 @@ def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
                    a_ang_free + da_t)[:, 0]
     rhs = v0n - b                                         # w = An x + rhs
 
+    # semismooth (min-map) Newton on min(x, w) = 0: solve w = 0 on the
+    # active set, then switch act <- {x > w}.  The earlier rule
+    # act <- {x>0 or w<0} got STUCK when the unconstrained solve returned
+    # x < 0 on a row with w < 0: clamping x to 0 kept the row active and
+    # every subsequent solve reproduced the identical solution — on a
+    # gripper squeeze the residual closing velocity survived "exact"
+    # presolves and the fingers ground 2-4 cm into the object, deep
+    # enough to flip the SAT axis and lose the grasp.
     x = jnp.maximum(lam0[:, 0], 0.0)
-    act = act_mask
-    for _ in range(4):
+    act = act_mask & ((x > 0.0) | (rhs < 0.0))
+    for _ in range(8):
         m2 = act[:, None] & act[None, :]
         A_m = jnp.where(m2, An, 0.0) + jnp.diag(jnp.where(act, 0.0, 1.0))
         x = jnp.linalg.solve(A_m, jnp.where(act, -rhs, 0.0))
-        x = jnp.where(act, jnp.maximum(x, 0.0), 0.0)
+        x = jnp.where(act, x, 0.0)                # unclamped on act
         w = An @ x + rhs
-        act = act_mask & ((x > 0.0) | (w < -1e-7))
+        act = act_mask & (x > w)
+    x = jnp.maximum(jnp.where(act, x, 0.0), 0.0)
     lam0 = lam0.at[:, 0].set(x)
 
     lam, _ = jax.lax.scan(iteration, lam0, None, length=sp.iterations)
@@ -525,10 +540,14 @@ def physics_substep(scene: PhysicsScene, state: WorldState, q_target,
                                state.root_quat)
     M = D.mass_matrix(model, kin)
     bias = D.bias_forces(model, kin, state.qvel)
+    # passive-force balancing: the compensation torque (= bias at the
+    # current state) enters as unclipped external qf, exactly cancelling
+    # gravity+coriolis in the free solve (SAPIEN set_qf semantics)
+    comp = bias if scene.compensate_passive else None
     qvel_free, Minv_eff = D.implicit_pd_velocity(
         model, M, bias, state.qpos, state.qvel, q_target,
         jnp.asarray(scene.kp), jnp.asarray(scene.kd),
-        jnp.asarray(scene.force_limit), h)
+        jnp.asarray(scene.force_limit), h, tau_external=comp)
 
     a_lin_free = state.a_lin + h * D.GRAVITY
     a_ang_free = state.a_ang
