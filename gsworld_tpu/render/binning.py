@@ -60,16 +60,46 @@ class EntryBins(NamedTuple):
 
 
 def _two_level_searchsorted(sorted_arr, queries, stride: int = 128):
-    """searchsorted(sorted_arr, queries, side='left') in 2 gather rounds."""
+    """searchsorted(sorted_arr, queries, side='left') in ONE gather round.
+
+    The coarse level is a dense compare-and-sum instead of
+    jnp.searchsorted: the latter lowers to ~log2(m) dependent scalar
+    gather kernels on TPU (~1 ms of pure dispatch latency at m=2^18),
+    while the (Q, m/stride) compare is one fused VPU kernel."""
     m = sorted_arr.shape[0]
     coarse = sorted_arr[::stride]                      # (m/stride,)
-    hi = jnp.searchsorted(coarse, queries, side="left")  # block index bound
+    hi = jnp.sum(coarse[None, :] < queries[:, None], axis=1)
     base = jnp.maximum(hi - 1, 0) * stride
     win_idx = base[:, None] + jnp.arange(stride)[None, :]
     win = sorted_arr[jnp.minimum(win_idx, m - 1)]      # (Q, stride) one gather
     within = jnp.sum((win < queries[:, None])
                      & (win_idx < m), axis=1)
     return jnp.where(hi == 0, 0, base + within)
+
+
+def _fast_cumsum(x, dtype=jnp.int32):
+    """Inclusive cumsum of small non-negative ints via MXU prefix matmul.
+
+    jnp.cumsum over (N,) lowers to a log-depth associative scan
+    (~0.85 ms at N=2^18 on v5e); one (N/128, 128) @ (128, 128)
+    triangular matmul plus a 128x-smaller recursive level is ~20x
+    cheaper.  Exact while the total stays under 2^24 (f32 integers;
+    HIGHEST precision keeps the accumulate in f32)."""
+    n = x.shape[0]
+    if n <= 512:
+        return jnp.cumsum(x).astype(dtype)
+    npad = -(-n // 128) * 128
+    xf = jnp.pad(x.astype(jnp.float32), (0, npad - n)).reshape(-1, 128)
+    tri = (jnp.arange(128)[:, None] <= jnp.arange(128)[None, :]
+           ).astype(jnp.float32)
+    rows = jax.lax.dot_general(xf, tri, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    tails = rows[:, -1]
+    base = jnp.concatenate([
+        jnp.zeros((1,), jnp.float32),
+        _fast_cumsum(tails, jnp.float32)[:-1]])
+    return (rows + base[:, None]).reshape(-1)[:n].astype(dtype)
 
 
 def bin_entries(proj: Projected, cfg: RasterConfig) -> EntryBins:
@@ -162,34 +192,35 @@ def bin_entries(proj: Projected, cfg: RasterConfig) -> EntryBins:
 def bin_entries_fused(proj: Projected, cfg: RasterConfig,
                       record_cols) -> EntryBins:
     """Segment-packed binning that carries per-entry record columns
-    through to the compositor with NO permutation gathers.
+    through to the compositor with NO permutation scatters.
 
-    The classic pipeline (bin_entries + a post-sort record gather) pays
-    DRAM latency or lane-padded-layout taxes three times over: a depth
-    permutation row gather at N scale, an N->E expansion row gather, and
-    either a random post-sort gather or per-column slices of wide (E, P)
-    arrays.  This variant:
+    Everything runs in DEPTH-RANK space: culled gaussians carry
+    depth=inf and sink in the argsort, and the farthest-first budget
+    zeroes a contiguous rank tail — so the emitting gaussians are
+    exactly ranks [0, m) and no compaction scatter is ever needed
+    (round-2's compact-rank machinery cost ~3 ms/frame in inverse-
+    permutation and marker scatters on v5e).  Pipeline:
 
-      1. emits entries in ORIGINAL gaussian order (no depth argsort of
-         the record data — depth ordering is restored by the final sort
-         keying on (tile, view depth) directly, the CUDA radix-sort key);
-      2. enforces the entry budget farthest-first by zeroing the counts
-         of gaussians whose depth rank exceeds the budget threshold
-         (one (N,) argsort + one 1-D gather — the only gathers left);
-      3. builds a compact (16, Nemit) column table with ascending-index
-         scatters and expands it to per-entry columns with the
-         merge-join Pallas kernel (rasterize_pallas.expand_entry_columns:
-         compact ranks advance <=1 per entry, so each 128-entry chunk
-         reads one contiguous window and selects with a one-hot MXU
-         matmul);
-      4. sorts (tile, depth, gid, record columns) in one multi-operand
-         lax.sort — every operand a contiguous (E,) array.
+      1. depth argsort; ONE (N, 16) aligned row gather brings every
+         per-gaussian quantity (rect, gid, depth, record columns) into
+         rank order — row gathers run ~13x faster than the same data as
+         per-column element gathers;
+      2. budget: MXU-matmul cumsum of entry counts (binning._fast_cumsum)
+         + a compare-sum threshold; exclusive offsets the same way;
+      3. per-128-entry-chunk start ranks r0 via one windowed
+         searchsorted (row-aligned window gather + compare);
+      4. the rasterize_pallas.emit_entries kernel expands ranks to
+         per-entry sort operands IN-KERNEL (window DMA + one-hot MXU
+         select + tile-rect walk) — per-entry rank/tile arrays are never
+         built in XLA;
+      5. one multi-operand lax.sort on (tile, view depth) — the CUDA
+         radix-sort key — with gid + records as payload;
+      6. per-tile segment starts via compare-based two-level
+         searchsorted.
 
     ``record_cols`` is a tuple of (N,) f32 arrays in original gaussian
     order (rasterize_pallas.pack_record_columns).
     """
-    import numpy as _np
-
     # binning is integer plumbing (indices, keys, a detached record
     # payload): never differentiated, exactly like the CUDA dup+sort stage
     proj = jax.lax.stop_gradient(proj)
@@ -201,84 +232,75 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     T = cfg.num_tiles
     gx = cfg.tiles_x
     assert E % 128 == 0, "max_entries must be a multiple of 128"
+    NB = E // 128
 
+    order = jnp.argsort(proj.depth).astype(jnp.int32)
+
+    # ONE row gather into rank order (16 columns, 64 B rows)
     rect = proj.rect
     w = rect[:, 2] - rect[:, 0]
-    area = w * (rect[:, 3] - rect[:, 1])
-    cnt = jnp.clip(area, 0, D)
-
-    # farthest-first budget: depth rank of each gaussian; zero the counts
-    # of gaussians whose cumulative entry demand exceeds E
-    order = jnp.argsort(proj.depth).astype(jnp.int32)
-    cnt_by_rank = cnt[order]                                   # 1-D gather
-    csum = jnp.cumsum(cnt_by_rank)
-    n_keep = jnp.searchsorted(csum, E, side="right")
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))
-    cnt_b = jnp.where(rank < n_keep, cnt, 0)
-
-    emit = cnt_b > 0
-    crank = jnp.cumsum(emit.astype(jnp.int32)) - 1             # (n,)
-    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(cnt_b)[:-1].astype(jnp.int32)])
-
-    # compact (R, Npad) column table: ONE int index-scatter builds the
-    # compact->original map, then each row is an ascending 1-D gather
-    # (TPU scatters measured ~8x slower than gathers; 16 value-scatters
-    # here cost ~20 ms/frame)
-    npad = ((n + 127) // 128 + 1) * 128
-    pos = jnp.where(emit, crank, npad - 1)
-    inv = jnp.full((npad,), n, jnp.int32).at[pos].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    ok = inv < n
-    safe = jnp.minimum(inv, n - 1)
-
-    rows = [rect[:, 0], rect[:, 1], jnp.maximum(w, 1), offs, offs + cnt_b,
+    rows = [rect[:, 0], rect[:, 1], jnp.maximum(w, 1),
+            w * (rect[:, 3] - rect[:, 1]),                # area (-> cnt/offs)
             jnp.arange(n), proj.depth] + list(record_cols)
     R = 16
     table = jnp.stack([r.astype(jnp.float32) for r in rows]
-                      + [jnp.zeros((n,), jnp.float32)] * (R - len(rows)),
-                      axis=1)                                  # (n, R)
-    meta = jnp.where(ok[:, None], table[safe], 0.0).T          # (R, npad)
+                      + [jnp.zeros((n,), jnp.float32)] * (R - len(rows) - 1),
+                      axis=1)                                  # (n, 15)
+    tr = table[order]                                          # (n, 15)
 
-    # per-entry compact rank: scatter segment-start markers + prefix max
-    mark_pos = jnp.where(emit, offs, E)
-    markers = jnp.full((E,), -1, jnp.int32).at[mark_pos].set(
-        crank, mode="drop")
-    g_crank = jnp.maximum(jax.lax.cummax(markers, axis=0), 0)
+    area_r = tr[:, 3].astype(jnp.int32)
+    cnt = jnp.clip(area_r, 0, D)
+    csum = _fast_cumsum(cnt)                                   # inclusive
+    n_keep = jnp.sum(csum <= E)
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    cnt_b = jnp.where(ranks < n_keep, cnt, 0)
+    offs = (csum - cnt).astype(jnp.float32)                    # exclusive
+    total = jnp.where(n_keep > 0,
+                      csum[jnp.maximum(n_keep - 1, 0)], 0)
+    # ranks past the budget: freeze offs at the kept total so the
+    # in-kernel rank recovery (count offs <= e) lands on dead slots only
+    # for entries past `total`
+    offs = jnp.where(ranks < n_keep, offs, total.astype(jnp.float32))
+    end = offs + cnt_b.astype(jnp.float32)
 
-    from gsworld_tpu.render.rasterize_pallas import expand_entry_columns
-    cols = expand_entry_columns(meta, g_crank)                 # (E/C, R, C)
+    # meta (16, npad) in rank order: x0, y0, w, offs, cnt, gid, depth, recs
+    npad = ((n + 127) // 128 + 1) * 128
+    meta = jnp.concatenate([
+        tr[:, 0:3], offs[:, None], cnt_b.astype(jnp.float32)[:, None],
+        tr[:, 4:15]], axis=1)                                  # (n, 16)
+    BIG = jnp.float32(2 ** 30)
+    pad = jnp.zeros((npad - n, R), jnp.float32).at[:, 3].set(BIG)
+    meta = jnp.concatenate([meta, pad], axis=0).T              # (16, npad)
 
-    def col(j, dtype=jnp.float32):
-        c = cols[:, j, :].reshape(E)
-        return c.astype(dtype) if dtype != jnp.float32 else c
+    # start rank per 128-entry chunk: windowed searchsorted-right on offs
+    # (row-aligned window: offs reshaped (npad/128, 128), one row gather)
+    offs_pad = jnp.concatenate([offs, jnp.full((npad - n,), BIG)])
+    offs2d = offs_pad.reshape(-1, 128)
+    cidx = (jnp.arange(NB, dtype=jnp.int32) * 128).astype(jnp.float32)
+    hi = jnp.sum(offs2d[None, :, 0] <= cidx[:, None], axis=1)  # (NB,)
+    brow = jnp.maximum(hi - 1, 0)
+    win = offs2d[brow]                                         # (NB, 128)
+    within = jnp.sum(win <= cidx[:, None], axis=1)
+    r0 = jnp.maximum(brow * 128 + within - 1, 0).astype(jnp.int32)
+    # clamp to the last block start so the kernel's 2-block window fits
+    r0 = jnp.minimum(r0, npad - 129)
 
-    x0 = col(0, jnp.int32)
-    y0 = col(1, jnp.int32)
-    wq = col(2, jnp.int32)
-    offs_e = col(3, jnp.int32)
-    end_e = col(4, jnp.int32)
-    gid = col(5)
-    depth_e = col(6)
-
-    e_idx = jnp.arange(E, dtype=jnp.int32)
-    d = e_idx - offs_e
-    dy = d // jnp.maximum(wq, 1)
-    tile = (y0 + dy) * gx + x0 + (d - dy * wq)
-    live = e_idx < end_e
-    tile = jnp.where(live, tile, T)
+    from gsworld_tpu.render.rasterize_pallas import emit_entries
+    ops = emit_entries(meta, r0, E, gx, T)                     # (NB, 12, 128)
 
     n_rec = len(record_cols)
-    operands = (tile, jnp.where(live, depth_e, _np.float32(_np.inf)), gid) \
-        + tuple(cols[:, 7 + j, :].reshape(E) for j in range(n_rec))
+    tile_e = ops[:, 0, :].reshape(E).astype(jnp.int32)
+    depth_e = ops[:, 1, :].reshape(E)
+    gid = ops[:, 2, :].reshape(E)
+    operands = (tile_e, depth_e, gid) + tuple(
+        ops[:, 3 + j, :].reshape(E) for j in range(n_rec))
     out = jax.lax.sort(operands, num_keys=2, is_stable=False)
     tile_s, gid_s = out[0], out[2]
     starts = _two_level_searchsorted(
         tile_s, jnp.arange(T + 1, dtype=jnp.int32)).astype(jnp.int32)
 
-    overflow = (jnp.sum(jnp.maximum(area, 0)
-                        - jnp.minimum(jnp.maximum(area, 0), D))
+    overflow = (jnp.sum(jnp.maximum(area_r, 0)
+                        - jnp.minimum(jnp.maximum(area_r, 0), D))
                 + jnp.sum(cnt - cnt_b))
     return EntryBins(gaussian=gid_s.astype(jnp.int32), starts=starts,
                      overflow=overflow, payload=tuple(out[3:]))

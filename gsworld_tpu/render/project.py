@@ -122,9 +122,19 @@ def project_gaussians(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
     det_safe = jnp.where(det == 0.0, 1.0, det)
     conic = jnp.stack([c11, -c01, c00], axis=-1) / det_safe[..., None]
 
+    opacity = 1.0 / (1.0 + jnp.exp(-g.logit_opacities))
+
     mid = 0.5 * (c00 + c11)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lam1)).astype(jnp.int32)
+    # opacity-aware radius (lossless): alpha = opac * exp(-r^2 / 2 sigma^2)
+    # drops below the compositor's 1/255 skip threshold beyond
+    # sigma * sqrt(2 ln(255 opac)), so the tighter rect excludes only
+    # pixels the kernel would skip anyway (capped at the CUDA kernel's
+    # 3 sigma); opac < 1/255 can never contribute -> culled outright
+    r2 = 2.0 * jnp.log(jnp.maximum(255.0 * opacity, 1e-6))
+    valid = valid & (r2 > 0.0)
+    rscale = jnp.sqrt(jnp.clip(r2, 0.0, 9.0))
+    radius = jnp.ceil(rscale * jnp.sqrt(lam1)).astype(jnp.int32)
 
     # --- tile rect (getRect semantics: [min, max) clamped to the grid) ---
     t = cfg.tile
@@ -145,8 +155,6 @@ def project_gaussians(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
     dirs = g.means - cam.cam_center[..., None, :]
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     color = eval_sh(sh0, shN, dirs, cfg.sh_degree)
-
-    opacity = 1.0 / (1.0 + jnp.exp(-g.logit_opacities))
 
     depth = jnp.where(valid, depth, jnp.inf)
     return Projected(mean2d=mean2d, depth=depth, conic=conic, color=color,

@@ -94,16 +94,104 @@ def _prep_entry_records(proj: Projected, bins: EntryBins, semantics):
     When the records rode the sort as payload columns (bin_entries
     payload=...), each sorted column reshapes straight into its sublane
     row of the blocked layout — no post-sort gather, no row-major
-    transpose.  Fallback: one (E, 8) row gather (DRAM-latency-bound,
+    transpose.  Fallback: one (E, REC_W) row gather (DRAM-latency-bound,
     ~5.6 ms/frame at E=2^19 — why the payload path exists)."""
     if bins.payload:
         E = bins.payload[0].shape[0]
         return jnp.concatenate(
             [c.reshape(E // CHUNK, 1, CHUNK) for c in bins.payload], axis=1)
-    packed = pack_records(proj, semantics)          # (N, 8)
-    recs = packed[bins.gaussian]                    # (E, 8) ONE row gather
+    packed = pack_records(proj, semantics)          # (N, REC_W)
+    recs = packed[bins.gaussian]                    # (E, REC_W) ONE row gather
     E = recs.shape[0]
     return recs.reshape(E // CHUNK, CHUNK, REC_W).transpose(0, 2, 1)
+
+
+def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
+                 n_meta: int, n_out: int, gx: int, t_sentinel: int):
+    """Expand the rank-ordered per-gaussian meta table to per-entry sort
+    operands (tile key, depth, gid, record columns) — the TPU analog of
+    the CUDA duplication loop, one 128-entry chunk per grid step.
+
+    Meta rows (see bin_entries_fused): 0 x0, 1 y0, 2 w, 3 offs, 4 cnt,
+    5 gid, 6 depth, 7.. records.  The table is in DEPTH-RANK order with
+    emitting gaussians a contiguous prefix (culled ones carry depth=inf
+    and sink in the argsort), so per-entry ranks advance <=1 per entry
+    and the two 128-lane blocks covering rank r0 = rank(first entry of
+    the chunk) contain every rank the chunk touches.  The rank of entry
+    e is recovered IN-KERNEL as b0*128 + count(offs_window <= e) - 1
+    (offs is nondecreasing; pre-window ranks all satisfy offs <= e), so
+    no per-entry rank array is ever materialized in HBM.
+    """
+    c = pl.program_id(0)
+    r0 = r0_ref[c]
+    b0 = r0 // CHUNK
+    cp0 = pltpu.make_async_copy(meta_hbm.at[:, b0],
+                                win.at[:, 0:CHUNK], sem.at[0])
+    cp1 = pltpu.make_async_copy(meta_hbm.at[:, b0 + 1],
+                                win.at[:, CHUNK:2 * CHUNK], sem.at[1])
+    cp0.start()
+    cp1.start()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    e_idx = (c * CHUNK + lane).astype(jnp.float32)        # (1, CHUNK)
+    row = jax.lax.broadcasted_iota(jnp.int32, (2 * CHUNK, CHUNK), 0)
+    cp0.wait()
+    cp1.wait()
+    offs_w = win[3:4, :].T                                # (2C, 1)
+    le = (offs_w <= e_idx).astype(jnp.float32)            # (2C, CHUNK)
+    cnt_le = jnp.sum(le, axis=0, keepdims=True)           # (1, CHUNK)
+    onehot = (row == (cnt_le - 1.0).astype(jnp.int32)).astype(jnp.float32)
+    # HIGHEST precision: exact integer-valued columns (offsets up to
+    # E ~ 2^18) and f32 record fields survive the MXU select
+    cols = jax.lax.dot_general(
+        win[...], onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)               # (n_meta, CHUNK)
+    x0, y0 = cols[0:1, :], cols[1:2, :]
+    w = cols[2:3, :]
+    offs = cols[3:4, :]
+    cnt = cols[4:5, :]
+    # row-major position within the gaussian's tile rect (exact float
+    # math: d <= D-1 = 15, w <= tiles_x, both far under f32 precision)
+    d = e_idx - offs
+    dy = jnp.floor(d / w)
+    dx = d - dy * w
+    tile = (y0 + dy) * gx + x0 + dx
+    live = e_idx < offs + cnt
+    tile_key = jnp.where(live, tile, float(t_sentinel))
+    depth_key = jnp.where(live, cols[6:7, :], jnp.inf)
+    out_ref[0] = jnp.concatenate(
+        [tile_key, depth_key, cols[5:6, :], cols[7:n_meta, :]], axis=0)
+
+
+def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
+                 interpret=None):
+    """meta (R, Npad) f32 rank-ordered table, r0 (E/128,) int32 start rank
+    per 128-entry chunk -> (E/128, R-4, 128) per-entry sort operands
+    [tile_key, depth_key, gid, records...]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    R, npad = meta.shape
+    NB = E // CHUNK
+    n_out = R - 4
+    meta = meta.reshape(R, npad // CHUNK, CHUNK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, n_out, CHUNK), lambda c, s: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, 2 * CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_emit_kernel, n_meta=R, n_out=n_out, gx=gx,
+                          t_sentinel=t_sentinel),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NB, n_out, CHUNK), jnp.float32),
+        interpret=interpret,
+    )(r0, meta)
 
 
 def _expand_kernel(r0_ref, meta_hbm, crank_ref, out_ref, win, sem, *,
@@ -218,7 +306,7 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
                 get_dma((c + 1) % 2, b0 + c + 1).start()
 
             get_dma(c % 2, b0 + c).wait()
-            G = buf[c % 2]                                 # (8, CHUNK) f32
+            G = buf[c % 2]                                 # (REC_W, CHUNK) f32
 
             ids = (b0 + c) * CHUNK + lane                  # (1, CHUNK)
             maskv = (ids >= s) & (ids < e)
@@ -241,7 +329,9 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
             # termination threshold" needs no cumulative-or — one compare
             done = (T_incl < T_EPS) | (done_col > 0.5)     # (n_px, CHUNK)
             live = 1.0 - done.astype(jnp.float32)
-            w = a * jnp.exp(incl - X + logT) * live        # (n_px, CHUNK)
+            # exclusive-prefix transmittance U = T_incl/(1-a): one VPU
+            # divide instead of a second exp (a <= ALPHA_MAX so 1-a >= 0.01)
+            w = a / (1.0 - a) * T_incl * live              # (n_px, CHUNK)
             # decode integer-valued 10-bit color fields -> (3, CHUNK)
             rg = G[6:7, :].astype(jnp.int32)
             scale = COLOR_MAX / _Q

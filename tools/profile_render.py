@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Stage-by-stage render profiler (TPU): where does the ms/frame go?
 
+Profiles the PRODUCTION path (bin_entries_fused + pallas compositor, the
+path wrapper/gs_env.py render uses) stage by stage, plus the legacy
+bin_entries variant for comparison.
+
 The axon tunnel adds ~30 ms dispatch latency per call, so each stage is
 scanned REPS times inside ONE jitted program with a loop-carried input
 perturbation (prevents hoisting/DCE); reported time = (total - floor)/REPS.
@@ -24,6 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPS = 8
 _floor = [0.0]
+RESULTS = {}
 
 
 def scan_time(stage, args, label):
@@ -50,7 +55,8 @@ def scan_time(stage, args, label):
         jax.block_until_ready(fn(args))
         best = min(best, time.perf_counter() - t0)
     ms = max(best * 1e3 - _floor[0], 0.0) / REPS
-    print(f"{label:26s}{ms:8.2f} ms", flush=True)
+    print(f"{label:28s}{ms:8.2f} ms", flush=True)
+    RESULTS[label.strip()] = round(ms, 2)
     return ms
 
 
@@ -58,12 +64,13 @@ def main():
     from gsworld_tpu.render.binning import (
         _two_level_searchsorted,
         bin_entries,
+        bin_entries_fused,
     )
     from gsworld_tpu.render.project import project_gaussians
     from gsworld_tpu.render.rasterize_pallas import (
-        _prep_entry_records,
         composite_tiles_pallas,
-        pack_records,
+        expand_entry_columns,
+        pack_record_columns,
     )
     from gsworld_tpu.rollout.random_actions import build
 
@@ -74,7 +81,8 @@ def main():
     cfg = wrapper.raster_config
     scene = wrapper.scene
     print(f"N gaussians: {scene.means.shape[0]}, tiles: {cfg.num_tiles}, "
-          f"E={cfg.max_entries}, D={cfg.max_tiles_per_gaussian}")
+          f"E={cfg.max_entries}, D={cfg.max_tiles_per_gaussian}, "
+          f"tile={cfg.tile}")
 
     obs, _ = wrapper.reset(seed=0)
     state = wrapper.env._state
@@ -118,12 +126,18 @@ def main():
 
     proj = jax.jit(lambda p: project_gaussians(p, cam, cfg, scene.sh0,
                                                scene.shN))(posed)
-    ebins = jax.jit(lambda p: bin_entries(p, cfg))(proj)
+    cols = pack_record_columns(proj, None)
+    ebins = jax.jit(
+        lambda p: bin_entries_fused(p, cfg, pack_record_columns(p, None))
+    )(proj)
     nvis = int(jnp.sum(proj.radius > 0))
     total = int(ebins.starts[-1])
     counts = np.diff(np.asarray(ebins.starts))
     print(f"visible: {nvis}, entries: {total}, overflow {int(ebins.overflow)}"
           f", counts mean {counts.mean():.0f} max {counts.max()}", flush=True)
+    RESULTS["_meta"] = dict(n=int(scene.means.shape[0]), nvis=nvis,
+                            entries=total, E=cfg.max_entries,
+                            tiles=cfg.num_tiles, tile=cfg.tile)
 
     def p_posed(eps, p):
         return p._replace(means=p.means + eps)
@@ -132,126 +146,90 @@ def main():
         return p._replace(mean2d=p.mean2d + eps,
                           depth=p.depth + eps)
 
-    # ---- stages ----
+    # ---- production-path stages ----
     scan_time(lambda e, p: project_gaussians(p_posed(e, p), cam, cfg,
                                              scene.sh0, scene.shN),
               (posed,), "project")
-    scan_time(lambda e, p: bin_entries(p_proj(e, p), cfg),
-              (proj,), "bin_entries total")
+    scan_time(lambda e, p: bin_entries_fused(
+        p_proj(e, p), cfg, pack_record_columns(p_proj(e, p), None)),
+        (proj,), "bin_entries_fused total")
     scan_time(lambda e, p: jnp.argsort(p_proj(e, p).depth),
               (proj,), "  depth argsort")
 
+    # sub-stage: expand_entry_columns with representative shapes
     n = proj.depth.shape[0]
-    D, T, gx, E = (cfg.max_tiles_per_gaussian, cfg.num_tiles, cfg.tiles_x,
-                   cfg.max_entries)
-    order = jnp.argsort(proj.depth).astype(jnp.int32)
-    rect_o = proj.rect[order]
-    w = rect_o[:, 2] - rect_o[:, 0]
-    area = w * (rect_o[:, 3] - rect_o[:, 1])
-    cnt = jnp.clip(area, 0, D)
-    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
-    rank = jnp.arange(n, dtype=jnp.int32)
+    E = cfg.max_entries
+    T = cfg.num_tiles
+    npad = ((n + 127) // 128 + 1) * 128
+    meta = jnp.zeros((16, npad), jnp.float32)
+    g_crank = jnp.minimum(jnp.arange(E, dtype=jnp.int32) // 4, n - 1)
+    scan_time(lambda e, m, g: expand_entry_columns(
+        m + e, g), (meta, g_crank), "  expand_entry_columns")
 
-    def markers_fill(eps, offs, cnt):
-        offs = offs + eps.astype(jnp.int32)
-        mark_pos = jnp.where(cnt > 0, offs, E)
-        markers = jnp.full((E,), -1, jnp.int32).at[mark_pos].max(
-            rank, mode="drop")
-        return jax.lax.associative_scan(jnp.maximum, markers)
+    # sub-stage: the 12-operand sort at E
+    tile_ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, T + 1, size=E), jnp.int32)
+    depth_e = jnp.asarray(np.random.default_rng(1).random(E), jnp.float32)
+    paycols = tuple(jnp.zeros((E,), jnp.float32) for _ in range(10))
 
-    scan_time(markers_fill, (offs, cnt), "  scatter+cummax")
+    def sortstage(e, t, d):
+        out = jax.lax.sort((t + e.astype(jnp.int32), d) + paycols,
+                           num_keys=2, is_stable=False)
+        return out[0], out[2]
 
-    g_rank = markers_fill(jnp.float32(0), offs, cnt)
-    meta = jnp.stack([rect_o[:, 0], rect_o[:, 1],
-                      jnp.maximum(w, 1), offs, order], axis=1)
+    scan_time(sortstage, (tile_ids, depth_e), "  12-operand sort")
 
-    def tiles_of(eps, meta, g_rank):
-        g_rank = g_rank + eps.astype(jnp.int32)
-        m = meta[jnp.maximum(g_rank, 0)]
-        d = jnp.arange(E, dtype=jnp.int32) - m[:, 3]
-        dy = d // m[:, 2]
-        tile = (m[:, 1] + dy) * gx + m[:, 0] + (d - dy * m[:, 2])
-        return tile
+    def sortstage3(e, t, d):
+        out = jax.lax.sort((t + e.astype(jnp.int32), d,
+                            jnp.zeros((E,), jnp.float32)),
+                           num_keys=2, is_stable=False)
+        return out[0], out[2]
 
-    scan_time(tiles_of, (meta, g_rank), "  meta gather+tiles")
+    scan_time(sortstage3, (tile_ids, depth_e), "  3-operand sort")
 
-    e2 = 1
-    while e2 < E:
-        e2 *= 2
-    tile_ids = tiles_of(jnp.float32(0), meta, g_rank)
-    key = tile_ids * e2 + jnp.arange(E, dtype=jnp.int32)
-    scan_time(lambda e, k: jax.lax.sort(k + e.astype(jnp.int32)),
-              (key,), f"  1-key sort {E//1024}k")
-    key_s = jax.lax.sort(key)
+    key_s = jax.lax.sort(tile_ids)
     scan_time(lambda e, ks: _two_level_searchsorted(
-        ks + e.astype(jnp.int32), jnp.arange(T + 1, dtype=jnp.int32) * e2),
+        ks + e.astype(jnp.int32), jnp.arange(T + 1, dtype=jnp.int32)),
         (key_s,), "  searchsorted")
 
-    scan_time(lambda e, p, b: _prep_entry_records(p_proj(e, p), b, None),
-              (proj, ebins), "record prep")
-    scan_time(lambda e, p: pack_records(p_proj(e, p)), (proj,), "  pack only")
-
     scan_time(lambda e, p, b: composite_tiles_pallas(p_proj(e, p), b, cfg),
-              (proj, ebins), "pallas composite")
-    scan_time(lambda e, p, b: composite_tiles_pallas(p_proj(e, p), b, cfg,
-                                                     semantics=scene.semantics),
-              (proj, ebins), "pallas composite+seg")
-
-    # kernel only (records fixed)
-    recs = jax.jit(
-        lambda p, b: _prep_entry_records(p, b, None))(proj, ebins)
-
-    import functools
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from gsworld_tpu.render.rasterize_pallas import (
-        CHUNK,
-        REC_W,
-        _segment_kernel,
-    )
-    tpb = 4
-    n_px = cfg.tile * cfg.tile
-
-    def kern(eps, recs, starts):
-        r = (recs * (1.0 + eps))[None]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(1, T // tpb),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, tpb, 5, n_px),
-                                   lambda f, t, s: (f, t, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, REC_W, CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        )
-        return pl.pallas_call(
-            functools.partial(_segment_kernel, cfg=cfg, n_px=n_px,
-                              tiles_per_program=tpb, with_seg=False),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((1, T, 5, n_px), jnp.float32),
-        )(starts[None], r)
-
-    scan_time(kern, (recs, ebins.starts), "  kernel only")
+              (proj, ebins), "pallas composite(payload)")
+    scan_time(lambda e, p, b: composite_tiles_pallas(
+        p_proj(e, p), b, cfg, semantics=scene.semantics),
+        (proj, ebins), "pallas composite+seg")
 
     def full(eps, p):
         pr = project_gaussians(p_posed(eps, p), cam, cfg, scene.sh0,
                                scene.shN)
-        return composite_tiles_pallas(pr, bin_entries(pr, cfg), cfg)
+        b = bin_entries_fused(pr, cfg, pack_record_columns(pr, None))
+        return composite_tiles_pallas(pr, b, cfg)
 
-    scan_time(full, (posed,), "FULL frame")
+    scan_time(full, (posed,), "FULL frame (fused)")
 
     def full_seg(eps, p):
         pr = project_gaussians(p_posed(eps, p), cam, cfg, scene.sh0,
                                scene.shN)
-        return composite_tiles_pallas(pr, bin_entries(pr, cfg), cfg,
+        b = bin_entries_fused(pr, cfg,
+                              pack_record_columns(pr, scene.semantics))
+        return composite_tiles_pallas(pr, b, cfg,
                                       semantics=scene.semantics)
 
-    scan_time(full_seg, (posed,), "FULL frame + seg")
+    scan_time(full_seg, (posed,), "FULL frame + seg (fused)")
+
+    # legacy path for comparison
+    def full_legacy(eps, p):
+        pr = project_gaussians(p_posed(eps, p), cam, cfg, scene.sh0,
+                               scene.shN)
+        return composite_tiles_pallas(pr, bin_entries(pr, cfg), cfg)
+
+    scan_time(full_legacy, (posed,), "FULL frame (legacy bin)")
+
+    import json
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "profile_render_out.json")
+    with open(out_path, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":
