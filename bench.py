@@ -40,6 +40,10 @@ def main():
 
     from gsworld_tpu.rollout.random_actions import build, rollout_fps
 
+    # obs_mode="rgb+segmentation" is the reference's measured path
+    # (gsworld_rand_action_tabletop.py:175); BENCH_OBS_MODE=rgb for the
+    # rgb-only secondary row
+    obs_mode = os.environ.get("BENCH_OBS_MODE", "rgb+segmentation")
     env, wrapper = build(
         "AlignFr3Env-v1", num_envs=num_envs, cfg_name="fr3_align",
         sim_freq=120, control_freq=40, width=width, height=height,
@@ -49,13 +53,14 @@ def main():
         active_budget_frac=float(os.environ.get("BENCH_BUDGET", "1.0")),
         tile=int(os.environ.get("BENCH_TILE", "32")),
         max_entries=1 << int(os.environ.get("BENCH_LOG2_ENTRIES", "18")),
-        synthetic_scale=synthetic_scale)
+        synthetic_scale=synthetic_scale, obs_mode=obs_mode,
+        batch_frames=os.environ.get("BENCH_BATCH_FRAMES", "1") == "1")
     shard = (os.environ.get("BENCH_SHARD", "0") == "1"
              and len(jax.devices()) > 1)
     fps, spf, _ = rollout_fps(wrapper, ep_len, seed=0, use_scan=True,
                               shard=shard)
     print(json.dumps({
-        "metric": "closed-loop env steps/s, 640x480 GS render, "
+        "metric": f"closed-loop env steps/s, 640x480 GS {obs_mode} render, "
                   f"{num_envs} envs (AlignFr3Env-v1 random actions)",
         "value": round(fps, 2),
         "unit": "env-steps/s",

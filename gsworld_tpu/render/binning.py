@@ -78,28 +78,30 @@ def _two_level_searchsorted(sorted_arr, queries, stride: int = 128):
 
 
 def _fast_cumsum(x, dtype=jnp.int32):
-    """Inclusive cumsum of small non-negative ints via MXU prefix matmul.
+    """Inclusive cumsum (last axis) of small non-negative ints via MXU
+    prefix matmul; leading batch axes broadcast.
 
     jnp.cumsum over (N,) lowers to a log-depth associative scan
     (~0.85 ms at N=2^18 on v5e); one (N/128, 128) @ (128, 128)
     triangular matmul plus a 128x-smaller recursive level is ~20x
     cheaper.  Exact while the total stays under 2^24 (f32 integers;
     HIGHEST precision keeps the accumulate in f32)."""
-    n = x.shape[0]
+    n = x.shape[-1]
     if n <= 512:
-        return jnp.cumsum(x).astype(dtype)
+        return jnp.cumsum(x, axis=-1).astype(dtype)
     npad = -(-n // 128) * 128
-    xf = jnp.pad(x.astype(jnp.float32), (0, npad - n)).reshape(-1, 128)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, npad - n)]
+    xf = jnp.pad(x.astype(jnp.float32), pad).reshape(
+        x.shape[:-1] + (npad // 128, 128))
     tri = (jnp.arange(128)[:, None] <= jnp.arange(128)[None, :]
            ).astype(jnp.float32)
-    rows = jax.lax.dot_general(xf, tri, (((1,), (0,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32)
-    tails = rows[:, -1]
+    rows = jnp.matmul(xf, tri, precision=jax.lax.Precision.HIGHEST)
+    tails = rows[..., -1]
     base = jnp.concatenate([
-        jnp.zeros((1,), jnp.float32),
-        _fast_cumsum(tails, jnp.float32)[:-1]])
-    return (rows + base[:, None]).reshape(-1)[:n].astype(dtype)
+        jnp.zeros(tails.shape[:-1] + (1,), jnp.float32),
+        _fast_cumsum(tails, jnp.float32)[..., :-1]], axis=-1)
+    return (rows + base[..., None]).reshape(
+        x.shape[:-1] + (npad,))[..., :n].astype(dtype)
 
 
 def bin_entries(proj: Projected, cfg: RasterConfig) -> EntryBins:
@@ -220,13 +222,26 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
 
     ``record_cols`` is a tuple of (N,) f32 arrays in original gaussian
     order (rasterize_pallas.pack_record_columns).
+
+    ``proj``/``record_cols`` may carry ONE leading frame axis (batched
+    envs x cameras): the whole pipeline — argsort, row gather, cumsum,
+    emit kernel (frame-folded grid), the (tile, depth) sort, segment
+    starts — runs batched in a single program; EntryBins fields gain the
+    same leading axis.  Batching amortizes per-frame dispatch/fusion
+    overhead (~3 ms/frame single-frame on v5e) and feeds the TPU full
+    (F, E) operands.
     """
     # binning is integer plumbing (indices, keys, a detached record
     # payload): never differentiated, exactly like the CUDA dup+sort stage
     proj = jax.lax.stop_gradient(proj)
     record_cols = jax.tree.map(jax.lax.stop_gradient, tuple(record_cols))
 
-    n = proj.depth.shape[0]
+    squeeze = proj.depth.ndim == 1
+    if squeeze:
+        proj = jax.tree.map(lambda x: x[None], proj)
+        record_cols = tuple(c[None] for c in record_cols)
+
+    F, n = proj.depth.shape
     D = cfg.max_tiles_per_gaussian
     E = cfg.max_entries
     T = cfg.num_tiles
@@ -234,76 +249,118 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     assert E % 128 == 0, "max_entries must be a multiple of 128"
     NB = E // 128
 
-    order = jnp.argsort(proj.depth).astype(jnp.int32)
-
-    # ONE row gather into rank order (16 columns, 64 B rows)
+    # depth sort carrying ALL per-gaussian columns as payload operands.
+    # A (n, 16) row table + rank gather costs ~5.3 ms/frame on v5e — not
+    # the gather but materializing the (n, 16) array: a 16-wide minor dim
+    # wastes 7/8 of every 128-lane register and the stack is a
+    # lane-interleaving relayout.  The multi-operand sort keeps every
+    # column in its native layout (~0.28 ms at n=222k).
+    #
+    # CRITICAL: sorts run FLAT 1-D over (F*n,) with a frame id as the
+    # leading key — XLA's TPU sort emitter handles a batched 2-D sort
+    # ~10x slower than the same data flat (measured 16.8 vs 1.6 ms for
+    # the entry sort at E=2^19).
     rect = proj.rect
-    w = rect[:, 2] - rect[:, 0]
-    rows = [rect[:, 0], rect[:, 1], jnp.maximum(w, 1),
-            w * (rect[:, 3] - rect[:, 1]),                # area (-> cnt/offs)
-            jnp.arange(n), proj.depth] + list(record_cols)
+    w = rect[..., 2] - rect[..., 0]
+    gids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (F, n))
+    cols = [rect[..., 0], rect[..., 1], jnp.maximum(w, 1),
+            w * (rect[..., 3] - rect[..., 1]),            # area (-> cnt/offs)
+            gids] + list(record_cols)
+    cols = [jnp.broadcast_to(c, (F, n)).astype(jnp.float32).reshape(F * n)
+            for c in cols]
+    fid_n = (jnp.arange(F * n, dtype=jnp.int32) // n).astype(jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (fid_n, proj.depth.astype(jnp.float32).reshape(F * n)) + tuple(cols),
+        num_keys=2, is_stable=False)
+    # frame f's rows are exactly [f*n, (f+1)*n): reshape back to (F, n)
+    depth_r = sorted_ops[1].reshape(F, n)
+    x0_r, y0_r, w_r, area_f, gid_r = (
+        s.reshape(F, n) for s in sorted_ops[2:7])
+    recs_r = tuple(s.reshape(F, n) for s in sorted_ops[7:])
     R = 16
-    table = jnp.stack([r.astype(jnp.float32) for r in rows]
-                      + [jnp.zeros((n,), jnp.float32)] * (R - len(rows) - 1),
-                      axis=1)                                  # (n, 15)
-    tr = table[order]                                          # (n, 15)
 
-    area_r = tr[:, 3].astype(jnp.int32)
+    area_r = area_f.astype(jnp.int32)
     cnt = jnp.clip(area_r, 0, D)
     csum = _fast_cumsum(cnt)                                   # inclusive
-    n_keep = jnp.sum(csum <= E)
-    ranks = jnp.arange(n, dtype=jnp.int32)
+    n_keep = jnp.sum(csum <= E, axis=-1, keepdims=True)        # (F, 1)
+    ranks = jnp.arange(n, dtype=jnp.int32)[None, :]
     cnt_b = jnp.where(ranks < n_keep, cnt, 0)
     offs = (csum - cnt).astype(jnp.float32)                    # exclusive
-    total = jnp.where(n_keep > 0,
-                      csum[jnp.maximum(n_keep - 1, 0)], 0)
+    total = jnp.take_along_axis(csum, jnp.maximum(n_keep - 1, 0), axis=-1)
+    total = jnp.where(n_keep > 0, total, 0)                    # (F, 1)
     # ranks past the budget: freeze offs at the kept total so the
     # in-kernel rank recovery (count offs <= e) lands on dead slots only
     # for entries past `total`
     offs = jnp.where(ranks < n_keep, offs, total.astype(jnp.float32))
-    end = offs + cnt_b.astype(jnp.float32)
 
-    # meta (16, npad) in rank order: x0, y0, w, offs, cnt, gid, depth, recs
+    # meta (F, 16, npad) in rank order: x0, y0, w, offs, cnt, gid, depth,
+    # record columns — stacked on the SUBLANE axis (each row stays a
+    # contiguous (npad,) lane vector; no relayout).
+    #
+    # Every row MUST be finite: the emit kernel selects rows with a
+    # one-hot MXU matmul, and a single inf/NaN anywhere in the 256-rank
+    # window poisons the whole dot product (inf*0 = NaN) — culled
+    # gaussians carry depth=inf and can carry inf/NaN projection values.
     npad = ((n + 127) // 128 + 1) * 128
-    meta = jnp.concatenate([
-        tr[:, 0:3], offs[:, None], cnt_b.astype(jnp.float32)[:, None],
-        tr[:, 4:15]], axis=1)                                  # (n, 16)
     BIG = jnp.float32(2 ** 30)
-    pad = jnp.zeros((npad - n, R), jnp.float32).at[:, 3].set(BIG)
-    meta = jnp.concatenate([meta, pad], axis=0).T              # (16, npad)
+    depth_f = jnp.where(jnp.isfinite(depth_r), depth_r, BIG)
+    recs_f = [jnp.where(jnp.isfinite(r), r, 0.0) for r in recs_r]
+    meta_rows = [x0_r, y0_r, w_r, offs, cnt_b.astype(jnp.float32),
+                 gid_r, depth_f] + recs_f
+    pad_vals = [0.0, 0.0, 0.0, BIG, 0.0, 0.0, 0.0] + [0.0] * len(recs_r)
+    meta = jnp.stack([
+        jnp.concatenate(
+            [row, jnp.full((F, npad - n), pv, jnp.float32)], axis=-1)
+        for row, pv in zip(meta_rows, pad_vals)], axis=-2)     # (F, 16, npad)
 
     # start rank per 128-entry chunk: windowed searchsorted-right on offs
     # (row-aligned window: offs reshaped (npad/128, 128), one row gather)
-    offs_pad = jnp.concatenate([offs, jnp.full((npad - n,), BIG)])
-    offs2d = offs_pad.reshape(-1, 128)
+    offs_pad = jnp.concatenate(
+        [offs, jnp.full((F, npad - n), BIG)], axis=-1)
+    offs2d = offs_pad.reshape(F, -1, 128)
     cidx = (jnp.arange(NB, dtype=jnp.int32) * 128).astype(jnp.float32)
-    hi = jnp.sum(offs2d[None, :, 0] <= cidx[:, None], axis=1)  # (NB,)
-    brow = jnp.maximum(hi - 1, 0)
-    win = offs2d[brow]                                         # (NB, 128)
-    within = jnp.sum(win <= cidx[:, None], axis=1)
+    hi = jnp.sum(offs2d[:, None, :, 0] <= cidx[None, :, None], axis=-1)
+    brow = jnp.maximum(hi - 1, 0)                              # (F, NB)
+    win = jnp.take_along_axis(offs2d, brow[..., None], axis=1)  # (F, NB, 128)
+    within = jnp.sum(win <= cidx[None, :, None], axis=-1)
     r0 = jnp.maximum(brow * 128 + within - 1, 0).astype(jnp.int32)
     # clamp to the last block start so the kernel's 2-block window fits
     r0 = jnp.minimum(r0, npad - 129)
 
     from gsworld_tpu.render.rasterize_pallas import emit_entries
-    ops = emit_entries(meta, r0, E, gx, T)                     # (NB, 12, 128)
+    ops = emit_entries(meta, r0, E, gx, T)                 # (F, NB, 12, 128)
 
     n_rec = len(record_cols)
-    tile_e = ops[:, 0, :].reshape(E).astype(jnp.int32)
-    depth_e = ops[:, 1, :].reshape(E)
-    gid = ops[:, 2, :].reshape(E)
+    # ONE flat 1-D (tile, depth) sort over all frames: frame f's tile key
+    # is offset by f*(T+1), so its entries (live tiles [0,T) + sentinel T)
+    # stay contiguous in [f*E, (f+1)*E) after the sort — per-frame slices
+    # reshape straight back to (F, E)
+    fid_e = (jnp.arange(F * E, dtype=jnp.int32) // E).astype(jnp.int32)
+    tile_e = (ops[:, :, 0, :].reshape(F * E).astype(jnp.int32)
+              + fid_e * (T + 1))
+    depth_e = ops[:, :, 1, :].reshape(F * E)
+    gid = ops[:, :, 2, :].reshape(F * E)
     operands = (tile_e, depth_e, gid) + tuple(
-        ops[:, 3 + j, :].reshape(E) for j in range(n_rec))
+        ops[:, :, 3 + j, :].reshape(F * E) for j in range(n_rec))
     out = jax.lax.sort(operands, num_keys=2, is_stable=False)
     tile_s, gid_s = out[0], out[2]
-    starts = _two_level_searchsorted(
-        tile_s, jnp.arange(T + 1, dtype=jnp.int32)).astype(jnp.int32)
+    # all frames' segment starts from ONE 1-D searchsorted over the
+    # global key space: query f*(T+1)+t, then rebase by the frame's E
+    starts_all = _two_level_searchsorted(
+        tile_s, jnp.arange(F * (T + 1), dtype=jnp.int32))
+    starts = (starts_all.reshape(F, T + 1)
+              - (jnp.arange(F, dtype=jnp.int32) * E)[:, None]
+              ).astype(jnp.int32)
 
     overflow = (jnp.sum(jnp.maximum(area_r, 0)
-                        - jnp.minimum(jnp.maximum(area_r, 0), D))
-                + jnp.sum(cnt - cnt_b))
-    return EntryBins(gaussian=gid_s.astype(jnp.int32), starts=starts,
-                     overflow=overflow, payload=tuple(out[3:]))
+                        - jnp.minimum(jnp.maximum(area_r, 0), D), axis=-1)
+                + jnp.sum(cnt - cnt_b, axis=-1))
+    bins = EntryBins(gaussian=gid_s.reshape(F, E).astype(jnp.int32),
+                     starts=starts, overflow=overflow,
+                     payload=tuple(o.reshape(F, E) for o in out[3:]))
+    if squeeze:
+        bins = jax.tree.map(lambda x: x[0], bins)
+    return bins
 
 
 def bin_gaussians(proj: Projected, cfg: RasterConfig) -> TileBins:

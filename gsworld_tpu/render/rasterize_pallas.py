@@ -66,20 +66,22 @@ SEG_NONE = -1.0  # background semantic id
 
 
 def pack_record_columns(proj: Projected, semantics=None):
-    """The REC_W per-gaussian record columns as a tuple of (N,) f32
+    """The REC_W per-gaussian record columns as a tuple of (..., N) f32
     arrays in original gaussian order (no stacking — bin_entries_fused
-    packs them into its compact column table directly)."""
-    n = proj.depth.shape[0]
+    packs them into its compact column table directly).  Leading batch
+    axes of ``proj`` pass through; ``semantics`` (N,) broadcasts."""
     valid = proj.radius > 0
     c = jnp.clip(proj.color / COLOR_MAX, 0.0, 1.0)
     q = jnp.round(c * _Q).astype(jnp.uint32)
-    rg = (q[:, 0] | (q[:, 1] << 10)).astype(jnp.float32)   # exact <= 2^20
-    b = q[:, 2].astype(jnp.float32)
+    rg = (q[..., 0] | (q[..., 1] << 10)).astype(jnp.float32)  # exact <= 2^20
+    b = q[..., 2].astype(jnp.float32)
     opac = jnp.where(valid, proj.opacity, 0.0)
-    sem = (jnp.full((n,), SEG_NONE, jnp.float32) if semantics is None
-           else semantics.astype(jnp.float32))
-    return (proj.mean2d[:, 0], proj.mean2d[:, 1],
-            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+    sem = (jnp.full(proj.depth.shape, SEG_NONE, jnp.float32)
+           if semantics is None
+           else jnp.broadcast_to(semantics.astype(jnp.float32),
+                                 proj.depth.shape))
+    return (proj.mean2d[..., 0], proj.mean2d[..., 1],
+            proj.conic[..., 0], proj.conic[..., 1], proj.conic[..., 2],
             opac, rg, b, sem)
 
 
@@ -121,13 +123,17 @@ def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
     e is recovered IN-KERNEL as b0*128 + count(offs_window <= e) - 1
     (offs is nondecreasing; pre-window ranks all satisfy offs <= e), so
     no per-entry rank array is ever materialized in HBM.
+
+    Grid (F, NB): frames fold into the grid (pallas_call is not
+    vmappable on TPU), so batched envs x cameras run in one launch.
     """
-    c = pl.program_id(0)
-    r0 = r0_ref[c]
+    f = pl.program_id(0)
+    c = pl.program_id(1)
+    r0 = r0_ref[f, c]
     b0 = r0 // CHUNK
-    cp0 = pltpu.make_async_copy(meta_hbm.at[:, b0],
+    cp0 = pltpu.make_async_copy(meta_hbm.at[f, :, b0],
                                 win.at[:, 0:CHUNK], sem.at[0])
-    cp1 = pltpu.make_async_copy(meta_hbm.at[:, b0 + 1],
+    cp1 = pltpu.make_async_copy(meta_hbm.at[f, :, b0 + 1],
                                 win.at[:, CHUNK:2 * CHUNK], sem.at[1])
     cp0.start()
     cp1.start()
@@ -159,108 +165,42 @@ def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
     live = e_idx < offs + cnt
     tile_key = jnp.where(live, tile, float(t_sentinel))
     depth_key = jnp.where(live, cols[6:7, :], jnp.inf)
-    out_ref[0] = jnp.concatenate(
+    out_ref[0, 0] = jnp.concatenate(
         [tile_key, depth_key, cols[5:6, :], cols[7:n_meta, :]], axis=0)
 
 
 def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
                  interpret=None):
-    """meta (R, Npad) f32 rank-ordered table, r0 (E/128,) int32 start rank
-    per 128-entry chunk -> (E/128, R-4, 128) per-entry sort operands
-    [tile_key, depth_key, gid, records...]."""
+    """meta (F, R, Npad) f32 rank-ordered tables, r0 (F, E/128) int32
+    start rank per 128-entry chunk -> (F, E/128, R-4, 128) per-entry sort
+    operands [tile_key, depth_key, gid, records...].  A leading frame
+    axis of 1 is fine (single frame)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    R, npad = meta.shape
+    F, R, npad = meta.shape
     NB = E // CHUNK
     n_out = R - 4
-    meta = meta.reshape(R, npad // CHUNK, CHUNK)
+    meta = meta.reshape(F, R, npad // CHUNK, CHUNK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(NB,),
+        grid=(F, NB),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, n_out, CHUNK), lambda c, s: (c, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, n_out, CHUNK),
+                               lambda f, c, s: (f, c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((R, 2 * CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_emit_kernel, n_meta=R, n_out=n_out, gx=gx,
                           t_sentinel=t_sentinel),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NB, n_out, CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, NB, n_out, CHUNK), jnp.float32),
         interpret=interpret,
     )(r0, meta)
-
-
-def _expand_kernel(r0_ref, meta_hbm, crank_ref, out_ref, win, sem, *,
-                   n_rows: int):
-    """Expand per-gaussian columns to per-entry columns (merge join).
-
-    Entry chunk c needs meta columns for compact ranks
-    [crank[c*C], crank[c*C]+C) — a CONTIGUOUS window, because compact
-    ranks advance by at most one per entry.  Two block-aligned window
-    DMAs (Mosaic rejects dynamic lane offsets, so the window is the two
-    128-lane blocks covering it) plus a one-hot MXU matmul replace the
-    XLA row-gather + transpose + column-slice pipeline whose lane-padded
-    minor-dim layouts ran ~50x below memory speed (~5 ms/frame, E=2^18).
-    """
-    c = pl.program_id(0)
-    r0 = r0_ref[c]
-    b0 = r0 // CHUNK
-    cp0 = pltpu.make_async_copy(meta_hbm.at[:, b0],
-                                win.at[:, 0:CHUNK], sem.at[0])
-    cp1 = pltpu.make_async_copy(meta_hbm.at[:, b0 + 1],
-                                win.at[:, CHUNK:2 * CHUNK], sem.at[1])
-    cp0.start()
-    cp1.start()
-    ranks = crank_ref[0]                              # (1, CHUNK) int32
-    row = jax.lax.broadcasted_iota(jnp.int32, (2 * CHUNK, CHUNK), 0)
-    onehot = (row == (ranks - b0 * CHUNK)).astype(jnp.float32)
-    cp0.wait()
-    cp1.wait()
-    # HIGHEST precision: default MXU bf16 input rounding corrupts exact
-    # integer-valued columns (offsets up to E ~ 2^18 need 18 mantissa
-    # bits) and the f32 record fields
-    out_ref[0] = jax.lax.dot_general(
-        win[...], onehot, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)           # (n_rows, CHUNK)
-
-
-def expand_entry_columns(meta, crank, interpret=None):
-    """meta (R, Npad) f32, crank (E,) int32 (nondecreasing compact rank,
-    +1 max per step) -> (R, E) per-entry expansion, as an (E/C, R, C)
-    blocked array."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    R, npad = meta.shape
-    E = crank.shape[0]
-    NB = E // CHUNK
-    r0 = crank[:: CHUNK]                              # (NB,)
-    meta = meta.reshape(R, npad // CHUNK, CHUNK)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(NB,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, CHUNK), lambda c, s: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, R, CHUNK), lambda c, s: (c, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((R, 2 * CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_expand_kernel, n_rows=R),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NB, R, CHUNK), jnp.float32),
-        interpret=interpret,
-    )(r0, meta, crank.reshape(NB, 1, CHUNK))
+    return out
 
 
 def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,

@@ -27,7 +27,7 @@ def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
           tile_chunk: int, synthetic_scale: float = 1.0,
           obs_mode: str = "rgb", max_tiles_per_gaussian: int = 16,
           active_budget_frac: float = 1.0, tile: int = 16,
-          max_entries: int = 1 << 19):
+          max_entries: int = 1 << 19, batch_frames: bool = False):
     import dataclasses
 
     from gsworld_tpu import envs
@@ -51,7 +51,7 @@ def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
                                    active_budget_frac=active_budget_frac,
                                    tile_chunk=tile_chunk, tile=tile,
                                    max_entries=max_entries),
-        synthetic_sizes=sizes)
+        synthetic_sizes=sizes, batch_frames=batch_frames)
     return env, wrapper
 
 
@@ -87,16 +87,19 @@ def rollout_fps(wrapper, ep_len: int, seed: int = 0, warmup: int = 2,
         scan_fn = jax.jit(lambda s, ks: jax.lax.scan(body, (s,), ks))
         keys = jax.random.split(key, ep_len)
         (state,), (sums, frames) = scan_fn(env.state, keys)  # compile
-        jax.block_until_ready(sums)
-        # time with fresh inputs each call (identical repeated inputs can be
-        # served from backend-side result caches); best-of-3
+        np.asarray(sums)
+        # time with fresh inputs each call (identical repeated inputs can
+        # be served from backend-side result caches) and a HOST-TRANSFER
+        # barrier: block_until_ready can return before the remote axon
+        # computation finishes (tools/tpu_timeit.py); np.asarray of the
+        # per-step sums (ep_len floats) is a true sync at ~0 cost.
         best = np.inf
         st = state
         for rep in range(3):
             ks = jax.random.split(jax.random.fold_in(key, 100 + rep), ep_len)
             t0 = time.perf_counter()
             (st,), (sums, frames) = scan_fn(st, ks)
-            jax.block_until_ready(sums)
+            np.asarray(sums)
             best = min(best, time.perf_counter() - t0)
         dt = best
         return ep_len * env.num_envs / dt, dt / ep_len, frames
@@ -105,14 +108,15 @@ def rollout_fps(wrapper, ep_len: int, seed: int = 0, warmup: int = 2,
     for i in range(warmup):
         a = env.action_space_sample(jax.random.fold_in(key, 10_000 + i))
         obs, *_ = wrapper.step(a)
-    jax.block_until_ready(obs["sensor_data"][env.cameras[0].name]["rgb"])
+    np.asarray(obs["sensor_data"][env.cameras[0].name]["rgb"])
     t0 = time.perf_counter()
     last = None
     for i in range(ep_len):
         a = env.action_space_sample(jax.random.fold_in(key, i))
         obs, *_ = wrapper.step(a)
         last = obs
-    jax.block_until_ready(last["sensor_data"][env.cameras[0].name]["rgb"])
+    # host-transfer barrier (block_until_ready can return early on axon)
+    np.asarray(last["sensor_data"][env.cameras[0].name]["rgb"])
     dt = time.perf_counter() - t0
     return ep_len * env.num_envs / dt, dt / ep_len, None
 

@@ -248,9 +248,10 @@ class GSWorldWrapper:
             from gsworld_tpu.render.rasterize_pallas import (
                 pack_record_columns,
             )
-            bins = jax.vmap(
-                lambda p: bin_entries_fused(
-                    p, cfg, pack_record_columns(p, sem)))(proj)
+            # natively frame-batched (emit kernel folds frames into its
+            # grid — pallas_call is not vmappable on TPU)
+            bins = bin_entries_fused(proj, cfg,
+                                     pack_record_columns(proj, sem))
             outs = composite_tiles_pallas(proj, bins, cfg, semantics=sem)
             imgs = jnp.clip(outs[0] * 255.0, 0, 255).astype(jnp.uint8)
             imgs = imgs.reshape(B, C, cams[0].height, cams[0].width, 3)

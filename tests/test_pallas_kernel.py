@@ -109,6 +109,61 @@ class TestPallasParity:
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        atol=1e-5)
 
+    def test_fused_binning_matches_and_orders_by_depth(self):
+        """bin_entries_fused must reproduce bin_entries' segments with
+        per-tile depth ordering — including when culled gaussians carry
+        inf/NaN projection values (regression: the emit kernel's one-hot
+        MXU select turns a single inf in the 256-rank window into NaN
+        depth keys, scrambling within-tile order)."""
+        from gsworld_tpu.render.binning import bin_entries_fused
+        from gsworld_tpu.render.rasterize_pallas import pack_record_columns
+        proj, cfg = _setup(n=400, seed=13)
+        # poison culled rows the way a real projection can (inv_w blowup)
+        culled = np.asarray(proj.radius) == 0
+        if culled.any():
+            m2d = np.asarray(proj.mean2d)
+            m2d[culled] = np.inf
+            proj = proj._replace(mean2d=jnp.asarray(m2d))
+        ref = bin_entries(proj, cfg)
+        fused = bin_entries_fused(proj, cfg, pack_record_columns(proj, None))
+        np.testing.assert_array_equal(np.asarray(ref.starts),
+                                      np.asarray(fused.starts))
+        depth = np.asarray(proj.depth)
+        g = np.asarray(fused.gaussian)
+        starts = np.asarray(fused.starts)
+        for t in range(cfg.num_tiles):
+            s0, s1 = int(starts[t]), int(starts[t + 1])
+            seg = g[s0:s1]
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(ref.gaussian[s0:s1])), np.sort(seg))
+            d = depth[seg]
+            assert np.isfinite(d).all(), f"tile {t}: culled entry emitted"
+            assert (np.diff(d) >= 0).all(), f"tile {t}: depth order broken"
+
+    def test_fused_binning_batched_matches_per_frame(self):
+        """One leading frame axis through bin_entries_fused must equal
+        per-frame calls on the live entry stream (frames fold into the
+        emit kernel grid and flat frame-keyed sorts)."""
+        from gsworld_tpu.render.binning import bin_entries_fused
+        from gsworld_tpu.render.rasterize_pallas import pack_record_columns
+        projs = [_setup(n=300, seed=s)[0] for s in (1, 2, 3)]
+        cfg = _setup(n=8)[1]
+        singles = [bin_entries_fused(p, cfg, pack_record_columns(p, None))
+                   for p in projs]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *projs)
+        fused = bin_entries_fused(batched, cfg,
+                                  pack_record_columns(batched, None))
+        for i, a in enumerate(singles):
+            b = jax.tree.map(lambda x: x[i], fused)
+            np.testing.assert_array_equal(np.asarray(a.starts),
+                                          np.asarray(b.starts))
+            L = int(a.starts[-1])
+            np.testing.assert_array_equal(np.asarray(a.gaussian[:L]),
+                                          np.asarray(b.gaussian[:L]))
+            for pa, pb in zip(a.payload, b.payload):
+                np.testing.assert_allclose(np.asarray(pa[:L]),
+                                           np.asarray(pb[:L]))
+
     def test_entry_cap_drops_farthest_first(self):
         """Shrinking max_entries must drop far entries, keeping the nearest
         content intact (graceful degradation vs the old row-major cut)."""

@@ -69,7 +69,7 @@ def main():
     from gsworld_tpu.render.project import project_gaussians
     from gsworld_tpu.render.rasterize_pallas import (
         composite_tiles_pallas,
-        expand_entry_columns,
+        emit_entries,
         pack_record_columns,
     )
     from gsworld_tpu.rollout.random_actions import build
@@ -156,15 +156,17 @@ def main():
     scan_time(lambda e, p: jnp.argsort(p_proj(e, p).depth),
               (proj,), "  depth argsort")
 
-    # sub-stage: expand_entry_columns with representative shapes
+    # sub-stage: emit_entries with representative shapes
     n = proj.depth.shape[0]
     E = cfg.max_entries
     T = cfg.num_tiles
     npad = ((n + 127) // 128 + 1) * 128
-    meta = jnp.zeros((16, npad), jnp.float32)
-    g_crank = jnp.minimum(jnp.arange(E, dtype=jnp.int32) // 4, n - 1)
-    scan_time(lambda e, m, g: expand_entry_columns(
-        m + e, g), (meta, g_crank), "  expand_entry_columns")
+    meta1 = jnp.zeros((1, 16, npad), jnp.float32).at[:, 3].set(
+        jnp.linspace(0.0, float(E), npad)[None])
+    r0s = jnp.minimum((jnp.arange(E // 128, dtype=jnp.int32) * 128
+                       * npad) // E, npad - 129)[None]
+    scan_time(lambda e, m, r: emit_entries(m + e, r, E, cfg.tiles_x, T),
+              (meta1, r0s), "  emit_entries")
 
     # sub-stage: the 12-operand sort at E
     tile_ids = jnp.asarray(
