@@ -21,3 +21,14 @@ Subpackage map (see SURVEY.md §7.1):
 """
 
 __version__ = "0.1.0"
+
+# The TPU default matmul precision is bfloat16 (~3 decimal digits). The
+# physics stack (CRBA mass matrices, Delassus solves, FK rotation chains)
+# is numerically brittle at the reference's mass ratios (4 g objects vs
+# kg-scale links): grasps that hold in f32 eject the object in bf16.
+# Physics FLOPs are negligible next to rendering, so default everything
+# to f32; the render's hot matmuls (prefix-scan splits, one-hot selects,
+# cumsum) pass explicit per-op precisions and are unaffected.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -107,22 +107,35 @@ class MotionPlanningSolver:
                                [np.float32(gripper)]])
 
     def follow_path(self, waypoints, refine_steps: int = 0):
-        """Execute joint waypoints via env.step (motionplanner.py:86-106)."""
+        """Execute joint waypoints via env.step (motionplanner.py:86-106).
+
+        The runaway guard trips at 4x the env's nominal episode cap (not
+        at the cap itself): the slip-safe carry speeds need ~150 steps
+        for a two-object solve, and success is evaluated at episode end
+        regardless of the truncated flag — stopping exactly at the cap
+        froze solves mid-lift."""
         result = None
+        limit = 4 * getattr(self.base_env, "max_episode_steps", 100)
         for wp in list(waypoints) + [waypoints[-1]] * refine_steps:
             action = self._action(wp, self.gripper_state)
             result = self.env.step(action)
             self.elapsed_steps += 1
-            terminated, truncated = result[2], result[3]
-            if bool(np.asarray(truncated).any()):
+            if self.elapsed_steps >= limit:
                 break
         return result
 
     def move_to_pose_with_screw(self, target_pos, target_quat,
-                                refine_steps: int = 0, dry_run: bool = False):
+                                refine_steps: int = 0, dry_run: bool = False,
+                                speed: float = 0.5):
         """Screw-interpolate the TCP to the target pose; IK each waypoint.
         Returns -1 on IK failure (reference returns -1 on plan failure,
-        retried once at motionplanner.py:145-151)."""
+        retried once at motionplanner.py:145-151).
+
+        ``speed`` is the TCP linear speed budget in m/s: the waypoint
+        count is dist/speed * control_freq.  Grasped objects slip above
+        ~0.25 m/s (the friction cone of a 4 g DTC can against the UMI
+        pads) — carry phases must pass a low speed; the old fixed
+        schedule moved at ~1 m/s and flung objects out of the gripper."""
         for attempt in range(2):
             q0, rp, rq = self._state0()
             p_now, q_now = self.tcp_pose()
@@ -131,9 +144,10 @@ class MotionPlanningSolver:
                 quat_normalize(jnp.asarray(target_quat)),
                 quat_conjugate(quat_normalize(jnp.asarray(q_now)))))
             ang = 2 * np.arccos(np.clip(abs(dq[0]), 0, 1))
-            # waypoint count from velocity limits at the control rate
-            n = max(2, int(np.ceil(max(dist / 0.25, ang / self.joint_vel_limit)
-                                   * self.control_freq / 4)))
+            # waypoint count from the speed budget at the control rate
+            n = max(2, int(np.ceil(max(dist / speed,
+                                       ang / self.joint_vel_limit)
+                                   * self.control_freq)))
             n = min(n, 120)
             poses = quat_slerp_screw(p_now, q_now, target_pos, target_quat, n)
             qs = []

@@ -41,44 +41,117 @@ def _actor_pos(env, name):
     return np.asarray(base.state.world.a_pos[0, base.actor_index[name]])
 
 
-def pick_and_place(env, planner, obj_name: str, goal_pos,
-                   grasp_z: float = 0.02, hover: float = 0.15,
-                   place_hover: float = 0.12, release_z: float = 0.10):
-    """reach -> descend -> grasp -> lift -> transport -> lower -> release."""
+def _trace(env, planner, tag, obj_name):
+    """Phase tracing for solution debugging (GSW_TRACE=1)."""
+    import os
+    if os.environ.get("GSW_TRACE", "0") != "1":
+        return
+    base = env
+    while hasattr(base, "env"):
+        base = base.env
+    o = _actor_pos(env, obj_name)
+    tcp, _ = planner.tcp_pose()
+    info = base._info(base.state)
+    el = int(base.state.elapsed[0])
+    print(f"  [{tag:14s}] el={el:3d} obj={np.round(o, 3)} "
+          f"tcp={np.round(tcp, 3)} "
+          f"succ={bool(np.asarray(info['success'])[0])}", flush=True)
+
+
+def _move(planner, pos, quat, refine_steps: int = 0, speed: float = 0.5):
+    """Screw move with an RRT-Connect fallback (the reference's mplib
+    planner falls back the same way for unreachable screw paths,
+    run_with_gs.py:136-149 counts them as retried plans)."""
+    res = planner.move_to_pose_with_screw(pos, quat,
+                                          refine_steps=refine_steps,
+                                          speed=speed)
+    if res == -1:
+        res = planner.move_to_pose_with_RRTConnect(
+            pos, quat, refine_steps=refine_steps)
+    return res
+
+
+def pick_and_place(env, planner, obj_name: str, place_pos,
+                   grasp_z: float = 0.02, hover: float = 0.10,
+                   settle: int = 10):
+    """reach -> descend -> grasp -> lift -> transport -> release.
+
+    ``place_pos`` is the target OBJECT-CENTER position: after the lift the
+    TCP target is offset by the measured tcp-to-object vector, so the
+    object (not the gripper) lands at ``place_pos`` — the reference's
+    ``offset = goal_pose.p - obj.pose.p`` align move (franka/solutions/
+    align.py:103-110).
+
+    Phases are step-frugal: the whole two-object Align solve must fit the
+    reference's max_episode_steps=100 at control 20 Hz (align.py:27)."""
     obj = _actor_pos(env, obj_name)
     grasp = obj + np.array([0, 0, grasp_z], np.float32)
-    res = planner.open_gripper(steps=3)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, hover], TOPDOWN_Q) == -1:
+    planner.open_gripper(steps=2)
+    if _move(planner, grasp + [0, 0, hover], TOPDOWN_Q, speed=0.6) == -1:
+        return -1
+    _trace(env, planner, "reach", obj_name)
+    # settle xy BEFORE the fingers reach the object's height: the UMI
+    # opening (8 cm) clears a DTC can (6.6 cm) by 7 mm per side, and a
+    # fast unrefined descend at far reach drifts enough to tip the can
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.06], TOPDOWN_Q,
+                                       refine_steps=2, speed=0.2) == -1:
         return -1
     if planner.move_to_pose_with_screw(grasp, TOPDOWN_Q,
-                                       refine_steps=6) == -1:
+                                       refine_steps=2, speed=0.12) == -1:
         return -1
+    _trace(env, planner, "descend", obj_name)
     planner.close_gripper(steps=8)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, hover], TOPDOWN_Q,
-                                       refine_steps=2) == -1:
+    _trace(env, planner, "grasp", obj_name)
+    # carry phases at <= 0.2 m/s: the friction cone of the light can
+    # against the UMI pads slips beyond ~0.25 m/s; the first cm of the
+    # lift is the most slip-prone (contact equilibrium re-forms)
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.04], TOPDOWN_Q,
+                                       speed=0.08, refine_steps=1) == -1:
         return -1
-    goal = np.asarray(goal_pos, np.float32)
-    if planner.move_to_pose_with_screw(
-            goal + [0, 0, place_hover + hover * 0.5], TOPDOWN_Q) == -1:
+    if planner.move_to_pose_with_screw(grasp + [0, 0, hover + 0.05],
+                                       TOPDOWN_Q, speed=0.2) == -1:
         return -1
-    if planner.move_to_pose_with_screw(goal + [0, 0, release_z], TOPDOWN_Q,
-                                       refine_steps=4) == -1:
+    _trace(env, planner, "lift", obj_name)
+    # object-relative place: move the TCP so the OBJECT reaches place_pos
+    tcp_now, _ = planner.tcp_pose()
+    obj_now = _actor_pos(env, obj_name)
+    off = tcp_now - obj_now
+    # transport with extra z clearance, then LOWER before releasing —
+    # dropping from transport height bounces the object off its support
+    high = np.asarray(place_pos, np.float32) + off + [0, 0, 0.05]
+    if _move(planner, high, TOPDOWN_Q, speed=0.2) == -1:
         return -1
-    res = planner.open_gripper(steps=6)
-    res = planner.move_to_pose_with_screw(goal + [0, 0, hover + 0.1],
-                                          TOPDOWN_Q, refine_steps=4)
-    res = planner.hold(steps=12)   # settle so static predicates can latch
+    _trace(env, planner, "transport", obj_name)
+    target_tcp = np.asarray(place_pos, np.float32) + off
+    if planner.move_to_pose_with_screw(target_tcp, TOPDOWN_Q,
+                                       refine_steps=2, speed=0.15) == -1:
+        return -1
+    _trace(env, planner, "lower", obj_name)
+    res = planner.open_gripper(steps=4)
+    res = planner.move_to_pose_with_screw(target_tcp + [0, 0, 0.10],
+                                          TOPDOWN_Q, speed=0.5)
+    if settle:
+        res = planner.hold(steps=settle)  # let static predicates latch
+    _trace(env, planner, "settle", obj_name)
     return res
 
 
 def solveAlignFr3(env, seed=None, debug=False, vis=False):
-    """franka/solutions/align.py:19-123: both cans into the spice rack."""
+    """franka/solutions/align.py:19-123: both cans onto the spice rack.
+
+    Placement mirrors the reference (:103): the two cans land at
+    goal_site * [0, +-0.05, 0.15 - 0.02 i] (rack local; the rack's
+    rotz(-90deg) maps local y to world x), i.e. ON TOP of the solid rack
+    box, spread so the second can does not hit the first."""
     env.reset(seed=seed)
     planner = FR3UmiMotionPlanningSolver(env, debug=debug, vis=vis)
     goal = _actor_pos(env, "spice_rack")
     res = -1
-    for obj in ("dtc_green_can_fr3", "dtc_red_tomato_can_fr3"):
-        res = pick_and_place(env, planner, obj, goal, grasp_z=0.03)
+    for i, obj in enumerate(("dtc_green_can_fr3", "dtc_red_tomato_can_fr3")):
+        spread = 0.05 if i == 0 else -0.05
+        place = goal + np.array([spread, 0.0, 0.15 - 0.02 * i], np.float32)
+        res = pick_and_place(env, planner, obj, place, grasp_z=0.03,
+                             settle=0 if i == 0 else 10)
         if res == -1:
             return -1
     planner.close()
@@ -89,8 +162,10 @@ def solvePnpBoxFr3(env, seed=None, debug=False, vis=False):
     env.reset(seed=seed)
     planner = FR3UmiMotionPlanningSolver(env, debug=debug, vis=vis)
     goal = _actor_pos(env, "snack_box")
-    res = pick_and_place(env, planner, "006_mustard_bottle", goal,
-                         grasp_z=0.04, hover=0.18, release_z=0.14)
+    # mustard bottle (half height 0.0955) onto the snack box (top 0.066)
+    res = pick_and_place(env, planner, "006_mustard_bottle",
+                         goal + np.array([0, 0, 0.16], np.float32),
+                         grasp_z=0.05, hover=0.18)
     planner.close()
     return res
 
@@ -99,8 +174,10 @@ def solveStackFr3(env, seed=None, debug=False, vis=False):
     env.reset(seed=seed)
     planner = FR3UmiMotionPlanningSolver(env, debug=debug, vis=vis)
     goal = _actor_pos(env, "005_tomato_soup_can")
+    # red can (half 0.05) on the soup can (top at goal_z + 0.051)
     res = pick_and_place(env, planner, "dtc_red_tomato_can_fr3",
-                         goal + [0, 0, 0.06], grasp_z=0.02, release_z=0.12)
+                         goal + np.array([0, 0, 0.051 + 0.05 + 0.012],
+                                         np.float32), grasp_z=0.03)
     planner.close()
     return res
 
@@ -118,13 +195,15 @@ def solvePourMustardFr3(env, seed=None, debug=False, vis=False):
     planner.open_gripper(steps=3)
     if planner.move_to_pose_with_screw(grasp + [0, 0, 0.15], TOPDOWN_Q) == -1:
         return -1
-    if planner.move_to_pose_with_screw(grasp, TOPDOWN_Q) == -1:
+    if planner.move_to_pose_with_screw(grasp, TOPDOWN_Q, refine_steps=2,
+                                       speed=0.15) == -1:
         return -1
     planner.close_gripper(steps=8)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.2], TOPDOWN_Q) == -1:
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.2], TOPDOWN_Q,
+                                       speed=0.2) == -1:
         return -1
     above = goal + np.array([0, 0, 0.25], np.float32)
-    if planner.move_to_pose_with_screw(above, TOPDOWN_Q) == -1:
+    if planner.move_to_pose_with_screw(above, TOPDOWN_Q, speed=0.25) == -1:
         return -1
     tilt_q = np.asarray(quat_multiply(
         axis_angle_to_quat(jnp.asarray([np.pi / 2.5, 0.0, 0.0])),
@@ -138,8 +217,11 @@ def solveAlignXArm(env, seed=None, debug=False, vis=False):
     env.reset(seed=seed)
     planner = XArmMotionPlanningSolver(env, debug=debug, vis=vis)
     goal = _actor_pos(env, "005_tomato_soup_can")
+    # success needs xy within the soup-can radius (0.033): stack the green
+    # can (half 0.065) on top of the soup can (top at goal_z + 0.051)
     res = pick_and_place(env, planner, "dtc_green_can",
-                         goal + [0.0, 0, 0.0], grasp_z=0.03)
+                         goal + np.array([0, 0, 0.051 + 0.065 + 0.012],
+                                         np.float32), grasp_z=0.03)
     planner.close()
     return res
 
@@ -157,17 +239,21 @@ def solveBananaRotationXArm(env, seed=None, debug=False, vis=False):
     planner.open_gripper(steps=3)
     if planner.move_to_pose_with_screw(grasp + [0, 0, 0.12], TOPDOWN_Q) == -1:
         return -1
-    if planner.move_to_pose_with_screw(grasp, TOPDOWN_Q) == -1:
+    if planner.move_to_pose_with_screw(grasp, TOPDOWN_Q, refine_steps=2,
+                                       speed=0.15) == -1:
         return -1
     planner.close_gripper(steps=8)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.1], TOPDOWN_Q) == -1:
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.1], TOPDOWN_Q,
+                                       speed=0.2) == -1:
         return -1
     rot_q = np.asarray(quat_multiply(
         axis_angle_to_quat(jnp.asarray([0.0, 0.0, -np.pi / 3])),
         jnp.asarray(TOPDOWN_Q)), np.float32)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.1], rot_q) == -1:
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.1], rot_q,
+                                       speed=0.2) == -1:
         return -1
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.03], rot_q) == -1:
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.03], rot_q,
+                                       speed=0.15) == -1:
         return -1
     res = planner.open_gripper(steps=6)
     res = planner.hold(steps=12)
@@ -183,8 +269,11 @@ def solveSpoonOnBoardXArm(env, seed=None, debug=False, vis=False):
         SPOON_NAME,
     )
     goal = _actor_pos(env, BOARD_NAME)
-    res = pick_and_place(env, planner, SPOON_NAME, goal,
-                         grasp_z=0.01, hover=0.12, release_z=0.06)
+    # spoon (half z 0.012) onto the board top (board center + 0.006)
+    res = pick_and_place(env, planner, SPOON_NAME,
+                         goal + np.array([0, 0, 0.006 + 0.012 + 0.015],
+                                         np.float32),
+                         grasp_z=0.015, hover=0.12)
     planner.close()
     return res
 

@@ -295,12 +295,24 @@ class GSWorldWrapper:
 
         zero_tint = (tint_slots if tint_slots is not None
                      else jnp.zeros((self.num_envs, 1, 3)))
+
+        # lax.scan with unroll: XLA pipelines the unrolled per-env render
+        # programs (overlapping sort/compositor stages of different envs),
+        # which a rolled loop cannot — measured 3.0 ms/frame at B=4
+        # (unrolled) vs 10.9 ms/frame at B=16 (rolled lax.map)
+        unroll = min(4, self.num_envs)
+
+        def scan_body(carry, xs):
+            return carry, render_env(xs)
+
+        _, out = jax.lax.scan(scan_body, (), (posed, ext, zero_tint),
+                              unroll=unroll)
         if want_seg:
-            imgs, segs = jax.lax.map(render_env, (posed, ext, zero_tint))
+            imgs, segs = out
             return {cam.name: {"rgb": imgs[:, ci],
                                "segmentation": segs[:, ci, :, :, None]}
                     for ci, cam in enumerate(cams)}
-        imgs = jax.lax.map(render_env, (posed, ext, zero_tint))
+        imgs = out
         return {cam.name: {"rgb": imgs[:, ci]}
                 for ci, cam in enumerate(cams)}
 

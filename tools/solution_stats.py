@@ -23,9 +23,13 @@ def main():
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--tasks", nargs="*", default=None)
     p.add_argument("--out", default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (axon latches the TPU)")
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
