@@ -192,7 +192,7 @@ def bin_entries(proj: Projected, cfg: RasterConfig) -> EntryBins:
 
 
 def bin_entries_fused(proj: Projected, cfg: RasterConfig,
-                      record_cols) -> EntryBins:
+                      record_cols, _stop_after: int = 0) -> EntryBins:
     """Segment-packed binning that carries per-entry record columns
     through to the compositor with NO permutation scatters.
 
@@ -272,6 +272,8 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     sorted_ops = jax.lax.sort(
         (fid_n, proj.depth.astype(jnp.float32).reshape(F * n)) + tuple(cols),
         num_keys=2, is_stable=False)
+    if _stop_after == 1:        # profiling prefix: depth sort only
+        return sorted_ops
     # frame f's rows are exactly [f*n, (f+1)*n): reshape back to (F, n)
     depth_r = sorted_ops[1].reshape(F, n)
     x0_r, y0_r, w_r, area_f, gid_r = (
@@ -327,8 +329,12 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     # clamp to the last block start so the kernel's 2-block window fits
     r0 = jnp.minimum(r0, npad - 129)
 
+    if _stop_after == 2:        # profiling prefix: + budget/meta/r0
+        return meta, r0
     from gsworld_tpu.render.rasterize_pallas import emit_entries
     ops = emit_entries(meta, r0, E, gx, T)                 # (F, NB, 12, 128)
+    if _stop_after == 3:        # profiling prefix: + emit kernel
+        return ops
 
     n_rec = len(record_cols)
     # ONE flat 1-D (tile, depth) sort over all frames: frame f's tile key
@@ -343,6 +349,8 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     operands = (tile_e, depth_e, gid) + tuple(
         ops[:, :, 3 + j, :].reshape(F * E) for j in range(n_rec))
     out = jax.lax.sort(operands, num_keys=2, is_stable=False)
+    if _stop_after == 4:        # profiling prefix: + entry sort
+        return out
     tile_s, gid_s = out[0], out[2]
     # all frames' segment starts from ONE 1-D searchsorted over the
     # global key space: query f*(T+1)+t, then rebase by the frame's E

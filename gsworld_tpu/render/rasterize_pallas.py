@@ -260,10 +260,15 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
             X = jnp.log1p(-a)
             # inclusive prefix log-transmittance: split-bf16 two-pass matmul
             # against the exact-in-bf16 0/1 triangular matrix
+            # explicit DEFAULT precision: the package-wide f32 matmul
+            # default would stamp contract_precision<fp32> on these bf16
+            # operands, which Mosaic rejects ("Bad lhs type")
             Xh = X.astype(jnp.bfloat16)
             Xl = (X - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
-            incl = (jnp.dot(Xh, triu, preferred_element_type=jnp.float32)
-                    + jnp.dot(Xl, triu, preferred_element_type=jnp.float32))
+            incl = (jnp.dot(Xh, triu, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                    + jnp.dot(Xl, triu, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT))
             T_incl = jnp.exp(incl + logT)
             # transmittance is monotone along the chunk, so "crossed the
             # termination threshold" needs no cumulative-or — one compare
@@ -416,8 +421,10 @@ def _bwd_kernel(ctile_ref, astarts_ref, recs_ref, pix_ref, out_ref,
         X = jnp.log1p(-a)
         Xh = X.astype(jnp.bfloat16)
         Xl = (X - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        incl = (jnp.dot(Xh, triu, preferred_element_type=jnp.float32)
-                + jnp.dot(Xl, triu, preferred_element_type=jnp.float32))
+        incl = (jnp.dot(Xh, triu, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+                + jnp.dot(Xl, triu, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT))
         T_incl = jnp.exp(incl + logT)
         done = (T_incl < T_EPS) | (done_col > 0.5)
         live = 1.0 - done.astype(jnp.float32)
@@ -429,8 +436,10 @@ def _bwd_kernel(ctile_ref, astarts_ref, recs_ref, pix_ref, out_ref,
         wr = w * r
         wh = wr.astype(jnp.bfloat16)
         wl = (wr - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-        pre = (jnp.dot(wh, triu, preferred_element_type=jnp.float32)
-               + jnp.dot(wl, triu, preferred_element_type=jnp.float32))
+        pre = (jnp.dot(wh, triu, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+               + jnp.dot(wl, triu, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT))
         pre_incl = pre + pref                       # inclusive prefix of wr
         s_after = S_total - pre_incl                # (n_px, CHUNK)
         eff = a * live
