@@ -49,10 +49,12 @@ def main():
         sim_freq=120, control_freq=40, width=width, height=height,
         max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", "1024")),
         tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", "16")),
-        max_tiles_per_gaussian=int(os.environ.get("BENCH_MAX_TILES", "16")),
+        # D=64 + E=2^19: zero dropped entries on the bench scene, 35.5 dB
+        # vs a truly-uncapped reference (tools/sweep_compositor.py r3)
+        max_tiles_per_gaussian=int(os.environ.get("BENCH_MAX_TILES", "64")),
         active_budget_frac=float(os.environ.get("BENCH_BUDGET", "1.0")),
         tile=int(os.environ.get("BENCH_TILE", "32")),
-        max_entries=1 << int(os.environ.get("BENCH_LOG2_ENTRIES", "18")),
+        max_entries=1 << int(os.environ.get("BENCH_LOG2_ENTRIES", "19")),
         synthetic_scale=synthetic_scale, obs_mode=obs_mode,
         # lax.map over frames beats the single batched grid on v5e (41.9
         # vs 37.2 steps/s @4 envs: XLA pipelines successive per-frame

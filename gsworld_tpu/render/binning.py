@@ -249,12 +249,20 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     assert E % 128 == 0, "max_entries must be a multiple of 128"
     NB = E // 128
 
-    # depth sort carrying ALL per-gaussian columns as payload operands.
+    # rank sort carrying ALL per-gaussian columns as payload operands.
     # A (n, 16) row table + rank gather costs ~5.3 ms/frame on v5e — not
     # the gather but materializing the (n, 16) array: a 16-wide minor dim
     # wastes 7/8 of every 128-lane register and the stack is a
     # lane-interleaving relayout.  The multi-operand sort keeps every
-    # column in its native layout (~0.28 ms at n=222k).
+    # column in its native layout.
+    #
+    # The rank key is IMPORTANCE (descending opacity * pixel-radius^2),
+    # not depth: within-tile depth order comes from the entry sort's own
+    # depth key, so ranks only need (a) culled gaussians contiguous at
+    # the tail and (b) a budget-truncation order.  Farthest-first
+    # truncation amputated whole background regions (23.4 dB at 50%
+    # drop on the bench scene); importance-first spreads the loss over
+    # the least-visible splats.
     #
     # CRITICAL: sorts run FLAT 1-D over (F*n,) with a frame id as the
     # leading key — XLA's TPU sort emitter handles a batched 2-D sort
@@ -263,23 +271,40 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     rect = proj.rect
     w = rect[..., 2] - rect[..., 0]
     gids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (F, n))
+    rf = proj.radius.astype(jnp.float32)
+    valid = (proj.radius > 0) & jnp.isfinite(proj.depth)
+    mode = getattr(cfg, "budget_rank", "depth")
+    depth_mode = mode == "depth"
+    if mode == "importance":
+        key_val = -proj.opacity * rf * rf
+    elif mode == "opacity":
+        key_val = -proj.opacity
+    else:                       # "depth": farthest-first truncation
+        key_val = proj.depth
+    rank_key = jnp.where(valid, key_val, jnp.inf)
     cols = [rect[..., 0], rect[..., 1], jnp.maximum(w, 1),
             w * (rect[..., 3] - rect[..., 1]),            # area (-> cnt/offs)
-            gids] + list(record_cols)
+            gids]
+    if not depth_mode:          # depth rides as payload (key is not depth)
+        cols.append(jnp.where(valid, proj.depth, 2.0 ** 30))
+    cols += list(record_cols)
     cols = [jnp.broadcast_to(c, (F, n)).astype(jnp.float32).reshape(F * n)
             for c in cols]
     fid_n = (jnp.arange(F * n, dtype=jnp.int32) // n).astype(jnp.int32)
     sorted_ops = jax.lax.sort(
-        (fid_n, proj.depth.astype(jnp.float32).reshape(F * n)) + tuple(cols),
+        (fid_n, rank_key.astype(jnp.float32).reshape(F * n)) + tuple(cols),
         num_keys=2, is_stable=False)
-    if _stop_after == 1:        # profiling prefix: depth sort only
+    if _stop_after == 1:        # profiling prefix: rank sort only
         return sorted_ops
     # frame f's rows are exactly [f*n, (f+1)*n): reshape back to (F, n)
-    depth_r = sorted_ops[1].reshape(F, n)
     x0_r, y0_r, w_r, area_f, gid_r = (
         s.reshape(F, n) for s in sorted_ops[2:7])
-    recs_r = tuple(s.reshape(F, n) for s in sorted_ops[7:])
-    R = 16
+    if depth_mode:
+        depth_r = sorted_ops[1].reshape(F, n)
+        recs_r = tuple(s.reshape(F, n) for s in sorted_ops[7:])
+    else:
+        depth_r = sorted_ops[7].reshape(F, n)
+        recs_r = tuple(s.reshape(F, n) for s in sorted_ops[8:])
 
     area_r = area_f.astype(jnp.int32)
     cnt = jnp.clip(area_r, 0, D)
@@ -295,8 +320,8 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     # for entries past `total`
     offs = jnp.where(ranks < n_keep, offs, total.astype(jnp.float32))
 
-    # meta (F, 16, npad) in rank order: x0, y0, w, offs, cnt, gid, depth,
-    # record columns — stacked on the SUBLANE axis (each row stays a
+    # meta (F, R, npad) in rank order: x0, y0, w, offs, cnt, gid,
+    # [depth when two-key,] record columns — stacked on the SUBLANE axis (each row stays a
     # contiguous (npad,) lane vector; no relayout).
     #
     # Every row MUST be finite: the emit kernel selects rows with a
@@ -305,11 +330,24 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     # gaussians carry depth=inf and can carry inf/NaN projection values.
     npad = ((n + 127) // 128 + 1) * 128
     BIG = jnp.float32(2 ** 30)
+    # single-key mode: in depth rank order, within-tile depth order IS
+    # rank order, so ONE int32 key (tile*span + rank) replaces the
+    # (tile, depth) two-key sort — one less operand, one less key pass.
+    # span must cover ranks and the combined key must fit int32.
+    rank_span = 1
+    while rank_span < npad:
+        rank_span *= 2
+    single_key = depth_mode and F * (T + 1) * rank_span < 2 ** 31
     depth_f = jnp.where(jnp.isfinite(depth_r), depth_r, BIG)
     recs_f = [jnp.where(jnp.isfinite(r), r, 0.0) for r in recs_r]
     meta_rows = [x0_r, y0_r, w_r, offs, cnt_b.astype(jnp.float32),
-                 gid_r, depth_f] + recs_f
-    pad_vals = [0.0, 0.0, 0.0, BIG, 0.0, 0.0, 0.0] + [0.0] * len(recs_r)
+                 gid_r] + ([] if single_key else [depth_f]) + recs_f
+    pad_vals = ([0.0, 0.0, 0.0, BIG, 0.0, 0.0]
+                + ([] if single_key else [0.0]) + [0.0] * len(recs_r))
+    # the emit kernel DMAs (R, 128) row windows: R must be sublane-aligned
+    while len(meta_rows) % 8:
+        meta_rows.append(jnp.zeros_like(meta_rows[0]))
+        pad_vals.append(0.0)
     meta = jnp.stack([
         jnp.concatenate(
             [row, jnp.full((F, npad - n), pv, jnp.float32)], axis=-1)
@@ -332,30 +370,45 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     if _stop_after == 2:        # profiling prefix: + budget/meta/r0
         return meta, r0
     from gsworld_tpu.render.rasterize_pallas import emit_entries
-    ops = emit_entries(meta, r0, E, gx, T)                 # (F, NB, 12, 128)
+    ops = emit_entries(meta, r0, E, gx, T, rank_mode=single_key,
+                       n_rec=len(record_cols))     # (F, NB, 3+n_rec, 128)
     if _stop_after == 3:        # profiling prefix: + emit kernel
         return ops
 
     n_rec = len(record_cols)
-    # ONE flat 1-D (tile, depth) sort over all frames: frame f's tile key
-    # is offset by f*(T+1), so its entries (live tiles [0,T) + sentinel T)
-    # stay contiguous in [f*E, (f+1)*E) after the sort — per-frame slices
+    # ONE flat 1-D sort over all frames: frame f's tile key is offset by
+    # f*(T+1), so its entries (live tiles [0,T) + sentinel T) stay
+    # contiguous in [f*E, (f+1)*E) after the sort — per-frame slices
     # reshape straight back to (F, E)
     fid_e = (jnp.arange(F * E, dtype=jnp.int32) // E).astype(jnp.int32)
     tile_e = (ops[:, :, 0, :].reshape(F * E).astype(jnp.int32)
               + fid_e * (T + 1))
-    depth_e = ops[:, :, 1, :].reshape(F * E)
     gid = ops[:, :, 2, :].reshape(F * E)
-    operands = (tile_e, depth_e, gid) + tuple(
+    recs_e = tuple(
         ops[:, :, 3 + j, :].reshape(F * E) for j in range(n_rec))
-    out = jax.lax.sort(operands, num_keys=2, is_stable=False)
-    if _stop_after == 4:        # profiling prefix: + entry sort
-        return out
-    tile_s, gid_s = out[0], out[2]
-    # all frames' segment starts from ONE 1-D searchsorted over the
-    # global key space: query f*(T+1)+t, then rebase by the frame's E
-    starts_all = _two_level_searchsorted(
-        tile_s, jnp.arange(F * (T + 1), dtype=jnp.int32))
+    if single_key:
+        # combined int32 (tile, rank) key — exact (rank/tile are small
+        # exact floats in the kernel output; combined here as ints)
+        rank_e = ops[:, :, 1, :].reshape(F * E).astype(jnp.int32)
+        key_e = tile_e * rank_span + rank_e
+        out = jax.lax.sort((key_e, gid) + recs_e, num_keys=1,
+                           is_stable=False)
+        if _stop_after == 4:    # profiling prefix: + entry sort
+            return out
+        key_s, gid_s = out[0], out[1]
+        payload = tuple(o.reshape(F, E) for o in out[2:])
+        starts_all = _two_level_searchsorted(
+            key_s, jnp.arange(F * (T + 1), dtype=jnp.int32) * rank_span)
+    else:
+        depth_e = ops[:, :, 1, :].reshape(F * E)
+        out = jax.lax.sort((tile_e, depth_e, gid) + recs_e, num_keys=2,
+                           is_stable=False)
+        if _stop_after == 4:    # profiling prefix: + entry sort
+            return out
+        key_s, gid_s = out[0], out[2]
+        payload = tuple(o.reshape(F, E) for o in out[3:])
+        starts_all = _two_level_searchsorted(
+            key_s, jnp.arange(F * (T + 1), dtype=jnp.int32))
     starts = (starts_all.reshape(F, T + 1)
               - (jnp.arange(F, dtype=jnp.int32) * E)[:, None]
               ).astype(jnp.int32)
@@ -365,7 +418,7 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
                 + jnp.sum(cnt - cnt_b, axis=-1))
     bins = EntryBins(gaussian=gid_s.reshape(F, E).astype(jnp.int32),
                      starts=starts, overflow=overflow,
-                     payload=tuple(o.reshape(F, E) for o in out[3:]))
+                     payload=payload)
     if squeeze:
         bins = jax.tree.map(lambda x: x[0], bins)
     return bins

@@ -50,14 +50,18 @@ class RasterConfig:
     # 32-px tiles are the TPU-native choice (the CUDA reference hardcodes
     # 16): 4x fewer duplicated entries for the same footprint coverage,
     # 4x fewer tile programs, and (1024, 128) MXU-shaped compositor
-    # matmuls. Measured on the bench scene: tile 32 / E=2^18 beats the
-    # old tile 16 / E=2^19 default by ~10 dB PSNR at 1.3x the speed.
+    # matmuls.
     tile: int = 32
     max_per_tile: int = 1024        # per-tile gaussian list capacity (XLA path)
-    max_tiles_per_gaussian: int = 16  # duplication cap in binning
+    # D=64 with the centered rect cap + E=2^19 renders the bench scene
+    # with ZERO dropped entries: 35.5 dB vs a truly-uncapped reference
+    # (the fidelity cliff is steep — 12% dropped entries cost 15 dB, and
+    # D<=48 halo clipping caps the scene below 28 dB; sweep data in the
+    # round-3 PARITY.md fidelity table)
+    max_tiles_per_gaussian: int = 64  # duplication cap in binning
     active_budget_frac: float = 1.0   # frustum-cull compaction budget (XLA path)
-    max_entries: int = 1 << 18      # total (tile, gaussian) entry budget
-    #                                 (Pallas segment path; farthest dropped)
+    max_entries: int = 1 << 19      # total (tile, gaussian) entry budget
+    #                                 (Pallas segment path; budget_rank drops)
     sh_degree: int = 3
     znear_cull: float = GS_NEAR_CULL
     znear: float = DEFAULT_ZNEAR
@@ -65,6 +69,10 @@ class RasterConfig:
     bg: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     tile_chunk: int = 64            # tiles rasterized per lax.map step (xla)
     backend: str = "auto"           # "auto" | "xla" | "pallas" compositor
+    # entry-budget truncation order when demand exceeds max_entries:
+    # "depth" (farthest-first; occlusion-correct and best measured at low
+    # drop rates), "opacity", "importance" (opacity*radius^2)
+    budget_rank: str = "depth"
 
     @property
     def tiles_x(self) -> int:

@@ -144,6 +144,31 @@ def project_gaussians(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
     y0 = jnp.clip(jnp.floor((mean2d[..., 1] - rf) / t), 0, gy).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((mean2d[..., 0] + rf + t - 1) / t), 0, gx).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((mean2d[..., 1] + rf + t - 1) / t), 0, gy).astype(jnp.int32)
+
+    # centered D-cap: when a rect exceeds the binning duplication cap D,
+    # shrink it to a <=D-tile window CENTERED on the splat mean instead of
+    # letting binning truncate the row-major walk (which keeps only the
+    # TOP rows of the rect — a spatially biased amputation that capped
+    # bench-scene fidelity at ~23 dB; the centered window keeps the
+    # high-alpha core and clips only the faint fringe)
+    D = cfg.max_tiles_per_gaussian
+    w_t = x1 - x0
+    h_t = y1 - y0
+    area = w_t * h_t
+    over = area > D
+    s = jnp.sqrt(D / jnp.maximum(area, 1).astype(jnp.float32))
+    w2 = jnp.clip(jnp.floor(w_t * s), 1, None).astype(jnp.int32)
+    h2 = jnp.clip(D // jnp.maximum(w2, 1), 1, None).astype(jnp.int32)
+    h2 = jnp.minimum(h2, h_t)
+    w2 = jnp.minimum((D // jnp.maximum(h2, 1)).astype(jnp.int32), w_t)
+    cx = jnp.clip((mean2d[..., 0] / t).astype(jnp.int32), x0, x1 - 1)
+    cy = jnp.clip((mean2d[..., 1] / t).astype(jnp.int32), y0, y1 - 1)
+    x0n = jnp.clip(cx - (w2 - 1) // 2, x0, x1 - w2)
+    y0n = jnp.clip(cy - (h2 - 1) // 2, y0, y1 - h2)
+    x0 = jnp.where(over, x0n, x0)
+    y0 = jnp.where(over, y0n, y0)
+    x1 = jnp.where(over, x0n + w2, x1)
+    y1 = jnp.where(over, y0n + h2, y1)
     area = (x1 - x0) * (y1 - y0)
     valid = valid & (area > 0)
     radius = jnp.where(valid, radius, 0)

@@ -4,15 +4,15 @@ TPU counterpart of the CUDA per-tile compositing loop
 (diff-gaussian-rasterization forward; SURVEY.md §2.3 row 1), built on the
 segment-packed entry stream from ``binning.bin_entries``:
 
-  * projection packs ONE (N, 9) f32 per-gaussian record:
-    [mx, my, A, B, C(conic), opacity, r|g, b, semantic] — RGB is 3x10-bit
+  * projection packs ONE (N, 8) f32 per-gaussian record:
+    [mx, my, A, B, C(conic), opacity, r|g, b|sem] — RGB is 3x10-bit
     fixed point carried as exact integer-valued floats (<=0.4% color
     error; bitcast packings alias NaN encodings the TPU sort/matmul
-    canonicalize);
+    canonicalize), the semantic id shares the blue column;
   * records reach sorted-entry order by riding the binning sort as
-    payload columns (bin_entries_fused) and re-block to (E/128, 9, 128)
+    payload columns (bin_entries_fused) and re-block to (E/128, 8, 128)
     — fields on sublanes, entries on lanes — so each 128-entry chunk is
-    one contiguous DMA;
+    one contiguous (sublane-aligned) DMA;
   * the kernel walks each tile's segment [starts[t], starts[t+1]) (scalar-
     prefetched starts = the CUDA per-tile range indirection) with chunked
     double-buffered HBM->VMEM DMA, overlapping copy and compute;
@@ -50,26 +50,31 @@ from gsworld_tpu.render.project import Projected
 
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
+LOG_T_EPS = -9.210340371976184  # ln(T_EPS): termination compares in log space
 ALPHA_MAX = 0.99
 CHUNK = 128
-REC_W = 9   # f32 record width
+REC_W = 8   # f32 record width
 COLOR_MAX = 4.0
 _Q = 1023.0
 SEG_NONE = -1.0  # background semantic id
 
 # record rows: 0 mx, 1 my, 2 A, 3 B, 4 C (conic), 5 opacity,
-#              6 r|g 2x10-bit, 7 b 10-bit, 8 semantic id.
-# Color bits ride as exact INTEGER-VALUED floats (<= 2^20), never as
-# bitcast patterns: bitcast rgb30 floats alias NaN/inf encodings that the
+#              6 r|g 2x10-bit, 7 b 10-bit | (semantic+1) << 10.
+# Color/semantic bits ride as exact INTEGER-VALUED floats (<= 2^24), never
+# as bitcast patterns: bitcast packings alias NaN/inf encodings that the
 # TPU sort network and the expansion kernel's matmul silently canonicalize
-# (colors corrupt while geometry survives — a ~13 dB image).
+# (colors corrupt while geometry survives — a ~13 dB image).  8 rows =
+# one VMEM sublane group per 128-entry chunk.
 
 
 def pack_record_columns(proj: Projected, semantics=None):
     """The REC_W per-gaussian record columns as a tuple of (..., N) f32
     arrays in original gaussian order (no stacking — bin_entries_fused
     packs them into its compact column table directly).  Leading batch
-    axes of ``proj`` pass through; ``semantics`` (N,) broadcasts."""
+    axes of ``proj`` pass through; ``semantics`` (N,) broadcasts.
+
+    The blue channel and the semantic id share one column:
+    ``b + (sem + 1) * 1024`` — both small exact ints, sum <= 2^24."""
     valid = proj.radius > 0
     c = jnp.clip(proj.color / COLOR_MAX, 0.0, 1.0)
     q = jnp.round(c * _Q).astype(jnp.uint32)
@@ -80,9 +85,10 @@ def pack_record_columns(proj: Projected, semantics=None):
            if semantics is None
            else jnp.broadcast_to(semantics.astype(jnp.float32),
                                  proj.depth.shape))
+    bsem = b + (sem + 1.0) * 1024.0
     return (proj.mean2d[..., 0], proj.mean2d[..., 1],
             proj.conic[..., 0], proj.conic[..., 1], proj.conic[..., 2],
-            opac, rg, b, sem)
+            opac, rg, bsem)
 
 
 def pack_records(proj: Projected, semantics=None) -> jnp.ndarray:
@@ -109,13 +115,16 @@ def _prep_entry_records(proj: Projected, bins: EntryBins, semantics):
 
 
 def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
-                 n_meta: int, n_out: int, gx: int, t_sentinel: int):
+                 n_meta: int, n_out: int, gx: int, t_sentinel: int,
+                 rank_mode: bool):
     """Expand the rank-ordered per-gaussian meta table to per-entry sort
     operands (tile key, depth, gid, record columns) — the TPU analog of
     the CUDA duplication loop, one 128-entry chunk per grid step.
 
     Meta rows (see bin_entries_fused): 0 x0, 1 y0, 2 w, 3 offs, 4 cnt,
-    5 gid, 6 depth, 7.. records.  The table is in DEPTH-RANK order with
+    5 gid, then records (rank_mode=True: the second output row is the
+    entry's RANK — within-tile order comes from rank itself) or 6 depth,
+    7.. records (rank_mode=False).  The table is in RANK order with
     emitting gaussians a contiguous prefix (culled ones carry depth=inf
     and sink in the argsort), so per-entry ranks advance <=1 per entry
     and the two 128-lane blocks covering rank r0 = rank(first entry of
@@ -164,22 +173,35 @@ def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
     tile = (y0 + dy) * gx + x0 + dx
     live = e_idx < offs + cnt
     tile_key = jnp.where(live, tile, float(t_sentinel))
-    depth_key = jnp.where(live, cols[6:7, :], jnp.inf)
+    if rank_mode:
+        # second row = entry's rank (exact small float; combined with the
+        # tile into one int32 sort key outside the kernel)
+        order_key = (b0.astype(jnp.float32) * jnp.float32(CHUNK)
+                     + cnt_le - 1.0)
+        rec0 = 6
+    else:
+        order_key = jnp.where(live, cols[6:7, :], jnp.inf)
+        rec0 = 7
     out_ref[0, 0] = jnp.concatenate(
-        [tile_key, depth_key, cols[5:6, :], cols[7:n_meta, :]], axis=0)
+        [tile_key, order_key, cols[5:6, :],
+         cols[rec0:rec0 + n_out - 3, :]], axis=0)
 
 
 def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
-                 interpret=None):
-    """meta (F, R, Npad) f32 rank-ordered tables, r0 (F, E/128) int32
-    start rank per 128-entry chunk -> (F, E/128, R-4, 128) per-entry sort
-    operands [tile_key, depth_key, gid, records...].  A leading frame
-    axis of 1 is fine (single frame)."""
+                 interpret=None, rank_mode: bool = False,
+                 n_rec=None):
+    """meta (F, R, Npad) f32 rank-ordered tables (R padded to a multiple
+    of 8 — the in-kernel row-window DMA requires sublane alignment), r0
+    (F, E/128) int32 start rank per 128-entry chunk -> (F, E/128, n_out,
+    128) per-entry sort operands [tile_key, depth_key | rank, gid,
+    records...].  A leading frame axis of 1 is fine (single frame)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     F, R, npad = meta.shape
     NB = E // CHUNK
-    n_out = R - 4
+    if n_rec is None:
+        n_rec = (R - 6) if rank_mode else (R - 7)
+    n_out = 3 + n_rec
     meta = meta.reshape(F, R, npad // CHUNK, CHUNK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -195,7 +217,7 @@ def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
     )
     out = pl.pallas_call(
         functools.partial(_emit_kernel, n_meta=R, n_out=n_out, gx=gx,
-                          t_sentinel=t_sentinel),
+                          t_sentinel=t_sentinel, rank_mode=rank_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, NB, n_out, CHUNK), jnp.float32),
         interpret=interpret,
@@ -250,12 +272,19 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
 
             ids = (b0 + c) * CHUNK + lane                  # (1, CHUNK)
             maskv = (ids >= s) & (ids < e)
+            opac = G[5:6, :]
+            # alpha >= ALPHA_MIN <=> power >= log(ALPHA_MIN/opac): the
+            # per-entry threshold folds the alpha cull AND the segment
+            # mask into ONE per-pair compare (thr is (1, CHUNK))
+            thr = jnp.where(maskv,
+                            jnp.log(ALPHA_MIN / jnp.maximum(opac, 1e-12)),
+                            jnp.inf)
             dx = (G[0:1, :] - ox) - x_loc                  # (n_px, CHUNK)
             dy = (G[1:2, :] - oy) - y_loc
             A, B, C = G[2:3, :], G[3:4, :], G[4:5, :]
             power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, G[5:6, :] * jnp.exp(power))
-            contrib = maskv & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            contrib = (power <= 0.0) & (power >= thr)
+            alpha = jnp.minimum(ALPHA_MAX, opac * jnp.exp(power))
             a = jnp.where(contrib, alpha, 0.0)
             X = jnp.log1p(-a)
             # inclusive prefix log-transmittance: split-bf16 two-pass matmul
@@ -269,28 +298,31 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
                             precision=jax.lax.Precision.DEFAULT)
                     + jnp.dot(Xl, triu, preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.DEFAULT))
-            T_incl = jnp.exp(incl + logT)
+            S = incl + logT                                # log T_incl
             # transmittance is monotone along the chunk, so "crossed the
-            # termination threshold" needs no cumulative-or — one compare
-            done = (T_incl < T_EPS) | (done_col > 0.5)     # (n_px, CHUNK)
+            # termination threshold" needs no cumulative-or — one compare,
+            # done in LOG space (no exp needed for the test)
+            done = (S < LOG_T_EPS) | (done_col > 0.5)      # (n_px, CHUNK)
             live = 1.0 - done.astype(jnp.float32)
-            # exclusive-prefix transmittance U = T_incl/(1-a): one VPU
-            # divide instead of a second exp (a <= ALPHA_MAX so 1-a >= 0.01)
-            w = a / (1.0 - a) * T_incl * live              # (n_px, CHUNK)
+            # blend weight w = a * U with U = T_incl/(1-a) = exp(S - X):
+            # one exp, no divide
+            w = a * jnp.exp(S - X) * live                  # (n_px, CHUNK)
             # decode integer-valued 10-bit color fields -> (3, CHUNK)
             rg = G[6:7, :].astype(jnp.int32)
+            bsem = G[7:8, :]
+            semf = jnp.floor(bsem * (1.0 / 1024.0))        # (1, CHUNK)
             scale = COLOR_MAX / _Q
             col = jnp.concatenate([
                 (rg & 0x3FF).astype(jnp.float32) * scale,
                 (rg >> 10).astype(jnp.float32) * scale,
-                G[7:8, :] * scale,
+                (bsem - semf * 1024.0) * scale,
             ], axis=0)                                     # (3, CHUNK)
             rgb_acc = rgb_acc + jax.lax.dot_general(
                 w, col, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             if with_seg:
                 wmax = jnp.max(w, axis=1, keepdims=True)   # (n_px, 1)
-                cand = jnp.max(jnp.where(w >= wmax, G[8:9, :], -jnp.inf),
+                cand = jnp.max(jnp.where(w >= wmax, semf - 1.0, -jnp.inf),
                                axis=1, keepdims=True)
                 better = wmax > best_w
                 best_w = jnp.where(better, wmax, best_w)

@@ -47,6 +47,7 @@ def main():
     env, wrapper = build(
         "AlignFr3Env-v1", num_envs=1, cfg_name="fr3_align",
         sim_freq=120, control_freq=40, width=640, height=480,
+        max_per_tile=1024, tile_chunk=16,
         tile=args.tile, max_entries=1 << args.log2e, synthetic_scale=1.0)
     cfg = wrapper.raster_config
     scene = wrapper.scene
