@@ -116,8 +116,13 @@ def points_vs_hull(pts_w, hull_pose_pos, hull_pose_quat, faces):
     return pen, normal_w, pts_w
 
 
-def hull_query_sat(pts_w, hull_pose_pos, hull_pose_quat, faces):
+def hull_query_sat(pts_w, hull_pose_pos, hull_pose_quat, faces,
+                   margin: float = 0.0):
     """SAT building blocks for src points (K, 3) vs a dst hull.
+
+    ``margin`` relaxes the inside test (speculative contacts, PhysX
+    contactOffset): a point within ``margin`` of being behind every face
+    counts, with its (negative) penetration reported faithfully.
 
     Per-point least-penetration normals (points_vs_hull) tilt with the
     dst hull's facets; on a gripper squeeze the two fingers' tilted
@@ -140,7 +145,7 @@ def hull_query_sat(pts_w, hull_pose_pos, hull_pose_quat, faces):
     local = _einsum("ji,kj->ki", Rh, pts_w - hull_pose_pos)
     sd = local @ faces[:, :3].T + faces[:, 3]                # (K, F)
     valid = faces[:, 3] > -1e8                               # padding = far
-    inside = jnp.max(jnp.where(valid[None, :], sd, -1.0), axis=1) < 0.0
+    inside = jnp.max(jnp.where(valid[None, :], sd, -1.0), axis=1) < margin
     # mask the (1e7,)*3 padding rows of _pad_points out of the per-face
     # min: their huge |sd| otherwise poisons every face whose normal has
     # a negative dot with the pad direction (depth ~ +1e7), which can
@@ -152,10 +157,11 @@ def hull_query_sat(pts_w, hull_pose_pos, hull_pose_quat, faces):
     return inside, depth, sd, nrm_w
 
 
-def reduce_patch(pen, pos, R: int):
+def reduce_patch(pen, pos, R: int, margin: float = 0.0):
     """PhysX-style contact-patch reduction: keep the deepest penetrating
     point, then greedily add the R-1 penetrating points farthest (max-min
-    distance) from those already kept.
+    distance) from those already kept.  ``margin`` admits speculative
+    points (pen > -margin) so near-touching vertices join the patch.
 
     Top-R-DEEPEST reduction collapses a long flat patch onto whichever
     rim is momentarily deepest: on a gripper squeeze every row lands on
@@ -173,7 +179,7 @@ def reduce_patch(pen, pos, R: int):
     """
     K = pen.shape[-1]
     NEG = jnp.float32(-1e9)
-    valid = pen > 0
+    valid = pen > -margin
     score0 = jnp.where(valid, pen, NEG + pen)
     i0 = jnp.argmax(score0, axis=-1)
     idxs = [i0]

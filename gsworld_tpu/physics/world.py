@@ -77,7 +77,18 @@ class SolverParams:
     # collision pair. Fewer rows per body = a larger mass-splitting step
     # per Jacobi iteration (split = 1/rows-on-body), which is what lets
     # grasps converge instead of fluttering; also fewer rows to solve.
-    contact_patch: int = 4
+    contact_patch: int = 6
+    # Speculative contact offset (PhysX contactOffset, default 0.02 there):
+    # rows activate while still `contact_margin` apart, with a NEGATIVE
+    # Baumgarte bias b = pen/h that allows approach exactly to touching.
+    # Without it, a PD-driven finger closing at 0.4 m/s tunnels 4 mm per
+    # substep before any vertex registers, and the solver then sees a
+    # single-point patch whose only consistent answer is spinning the 4 g
+    # object out of the gap (measured: fingers ground 1.5 cm into a DTC
+    # can with the LCP "solved" at every substep).  The margin both stops
+    # the approach at the surface and activates the neighboring hull
+    # vertices, so the patch has enough rows to block the rotation escape.
+    contact_margin: float = 0.008
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,8 +198,9 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
             pen = jnp.where(inside, pen, -1.0)
         # patch reduction: deepest + greedy max-spread (C.reduce_patch)
         R = min(scene.solver.contact_patch, K)
+        mg = scene.solver.contact_margin
         pts_b = jnp.broadcast_to(a_pts_w[None], (P, A, K, 3))
-        pen, top = C.reduce_patch(pen, pts_b, R)           # (P, A, R)
+        pen, top = C.reduce_patch(pen, pts_b, R, margin=mg)  # (P, A, R)
         pos = jnp.take_along_axis(pts_b, top[..., None], axis=2)
         nrm = jnp.broadcast_to(planes[:, None, None, :3], (P, A, R, 3))
         body_a = jnp.broadcast_to(
@@ -198,7 +210,7 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
             pos=pos.reshape(-1, 3), normal=nrm.reshape(-1, 3),
             pen=pen.reshape(-1), body_a=body_a.reshape(-1),
             body_b=jnp.full((P * A * R,), -1, jnp.int32),
-            friction=fric.reshape(-1), active=pen.reshape(-1) > 0))
+            friction=fric.reshape(-1), active=pen.reshape(-1) > -mg))
 
     # ---- hull queries: all directed (src pts -> dst hull) pairs at once ----
     aa = np.asarray(scene.aa_pairs).reshape(-1, 2)
@@ -257,8 +269,10 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
                 jnp.asarray(np.where(dk == 0, q_dst, 0))]
             if scene.model is not None else 0.0)
 
-        inside, depth, sd, nrm_f = jax.vmap(C.hull_query_sat)(
-            src_pts, dst_pos, dst_quat, dst_faces)        # (Q, K/F, ...)
+        mg = scene.solver.contact_margin
+        inside, depth, sd, nrm_f = jax.vmap(
+            lambda p, dp, dq, df: C.hull_query_sat(p, dp, dq, df, margin=mg)
+        )(src_pts, dst_pos, dst_quat, dst_faces)          # (Q, K/F, ...)
         # SAT axis per undirected pair: directed queries are built in
         # adjacent (q, q^1) partner pairs; the pair's contact normal is
         # the minimal-depth face axis across BOTH dst hulls, and only the
@@ -269,7 +283,7 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
         best_d = jnp.min(depth, axis=1)                   # (Q,)
         Q = len(q_src)
         part = jnp.arange(Q, dtype=jnp.int32) ^ 1         # partner query
-        overlap = jnp.minimum(best_d, best_d[part]) > 0.0
+        overlap = jnp.minimum(best_d, best_d[part]) > -mg
         even = (jnp.arange(Q) % 2) == 0
         win = jnp.where(even, best_d <= best_d[part], best_d < best_d[part])
         n_win = jnp.take_along_axis(
@@ -281,7 +295,7 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
         nrm = jnp.broadcast_to(n_win[:, None, :], src_pts.shape)
         pos = src_pts
         # patch reduction: deepest + greedy max-spread (C.reduce_patch)
-        pen, top = C.reduce_patch(pen, pos, R)            # (Q, R)
+        pen, top = C.reduce_patch(pen, pos, R, margin=mg)  # (Q, R)
         nrm = jnp.take_along_axis(nrm, top[..., None], axis=1)
         pos = jnp.take_along_axis(pos, top[..., None], axis=1)
         sets.append(C.ContactSet(
@@ -290,7 +304,7 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
             body_a=jnp.repeat(jnp.asarray(q_body_a, jnp.int32), R),
             body_b=jnp.repeat(jnp.asarray(q_body_b, jnp.int32), R),
             friction=jnp.repeat(jnp.stack(q_mu_dyn), R),
-            active=pen.reshape(-1) > 0))
+            active=pen.reshape(-1) > -mg))
 
     if not sets:
         z = jnp.zeros((0,))
@@ -385,9 +399,18 @@ def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
              + _einsum("cij,cjk,cik->ci", rxd_b, Ii_b, rxd_b))
     D = jnp.maximum(D_rob + D_act, 1e-9)                  # (C, 3)
 
-    # Baumgarte bias: desired separating normal velocity
-    b = jnp.minimum(sp.baumgarte / h * jnp.maximum(contacts.pen - sp.slop, 0.0),
-                    sp.max_pen_vel)
+    # Baumgarte bias: desired separating normal velocity.  Speculative
+    # rows (pen < 0: within contact_margin but not yet touching) get a
+    # NEGATIVE bias pen/h — the pair may approach at most the remaining
+    # distance this substep, so fast closures stop exactly at the surface
+    # instead of tunnelling a vertex deep before activation (PhysX
+    # contactOffset semantics).
+    b = jnp.where(
+        contacts.pen >= 0.0,
+        jnp.minimum(sp.baumgarte / h
+                    * jnp.maximum(contacts.pen - sp.slop, 0.0),
+                    sp.max_pen_vel),
+        contacts.pen / h)
 
     act_mask = contacts.active
     seg_a = jnp.where(is_act_a, a_idx_a, A)               # A = trash row

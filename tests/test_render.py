@@ -300,8 +300,11 @@ class TestPallasVsXlaMidscale:
                                max_per_tile=4096, max_tiles_per_gaussian=64,
                                tile_chunk=8, backend="xla")
         proj_ref = project_gaussians(g, cam, ref_cfg, sh0, shN)
-        ref_img, _ = composite_tiles(proj_ref, bin_gaussians(proj_ref, ref_cfg),
-                                     ref_cfg)
+        ref_bins = bin_gaussians(proj_ref, ref_cfg)
+        # the reference itself must be uncapped: a hot tile overflowing
+        # the generous caps would silently degrade the oracle (ADVICE r3)
+        assert int(np.asarray(ref_bins.overflow)) == 0
+        ref_img, _ = composite_tiles(proj_ref, ref_bins, ref_cfg)
 
         cfg = RasterConfig(width=320, height=240, tile=32, max_per_tile=1024,
                            max_tiles_per_gaussian=64, tile_chunk=16,

@@ -29,13 +29,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REPS = 8
 
 
-def bench_time(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def bench_time(fn, state0, act):
+    """Times fn(state, act) with a FRESH state per call (qpos perturbed on
+    device): identical repeated executions can be served from backend
+    result caches on this axon TPU setup (CLAUDE.md), which made the old
+    fixed-input timings spuriously fast."""
+
+    def perturb(i):
+        w = state0.world._replace(qpos=state0.world.qpos + i * 1e-6)
+        return state0._replace(world=w)
+
+    jax.block_until_ready(fn(perturb(0), act))
     best = np.inf
-    for _ in range(3):
+    for i in range(1, 4):
+        st = jax.block_until_ready(perturb(i))
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(st, act))
         best = min(best, time.perf_counter() - t0)
     return best * 1e3 / REPS
 
@@ -81,21 +90,30 @@ def main():
     t_phys = bench_time(chain(phys_step, lambda st: st.world.qpos), state0, act)
     print(f"physics+obs step        {t_phys:8.2f} ms/ctrl-step", flush=True)
 
+    # keep EVERY rendered output live (both cameras, rgb AND segmentation):
+    # dropping any of them lets XLA dead-code-eliminate that camera's render
+    # while ms_per_frame still divides by all cameras (ADVICE r3)
+    def live_sum(sensor_data):
+        tot = jnp.float32(0)
+        for cam in sensor_data.values():
+            for arr in cam.values():
+                tot = tot + jnp.sum(arr.astype(jnp.float32))
+        return tot
+
     # 2. full fused step + render (the production program)
     def full_step(st, a):
         st, obs, r, te, tr, info = wrapper._step_and_render(st, a)
-        return st, obs["sensor_data"]["right_cam"]["rgb"]
+        return st, live_sum(obs["sensor_data"])
 
     @jax.jit
     def run_full(state, action):
         def body(carry, _):
-            st, _ = carry
-            st, rgb = full_step(st, action)
-            return (st, rgb), None
-        (st, rgb), _ = jax.lax.scan(
-            body, (state, jnp.zeros((B, 480, 640, 3), jnp.uint8)), None,
-            length=REPS)
-        return rgb
+            st, acc = carry
+            st, tot = full_step(st, action)
+            return (st, acc + tot), None
+        (st, acc), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), None, length=REPS)
+        return acc
 
     t_full = bench_time(run_full, state0, act)
     print(f"full step+render        {t_full:8.2f} ms/ctrl-step", flush=True)
@@ -104,13 +122,14 @@ def main():
     @jax.jit
     def run_render(state, action):
         def body(carry, _):
-            st = carry
+            st, acc = carry
             w = st.world._replace(qpos=st.world.qpos + 1e-6)
             st = st._replace(world=w)
             sd = wrapper._render_fn(st)
-            return st, sd["right_cam"]["rgb"][..., 0, 0, :]
-        st, outs = jax.lax.scan(body, state, None, length=REPS)
-        return outs
+            return (st, acc + live_sum(sd)), None
+        (st, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)), None,
+                                    length=REPS)
+        return acc
 
     t_render = bench_time(run_render, state0, act)
     nframes = B * len(env.cameras)
