@@ -116,80 +116,106 @@ def _prep_entry_records(proj: Projected, bins: EntryBins, semantics):
 
 def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
                  n_meta: int, n_out: int, gx: int, t_sentinel: int,
-                 rank_mode: bool):
+                 rank_mode: bool, K: int, NS: int, NB: int, WB: int,
+                 nblk: int):
     """Expand the rank-ordered per-gaussian meta table to per-entry sort
     operands (tile key, depth, gid, record columns) — the TPU analog of
-    the CUDA duplication loop, one 128-entry chunk per grid step.
+    the CUDA duplication loop, K 128-entry chunks per grid step.
 
     Meta rows (see bin_entries_fused): 0 x0, 1 y0, 2 w, 3 offs, 4 cnt,
     5 gid, then records (rank_mode=True: the second output row is the
     entry's RANK — within-tile order comes from rank itself) or 6 depth,
     7.. records (rank_mode=False).  The table is in RANK order with
     emitting gaussians a contiguous prefix (culled ones carry depth=inf
-    and sink in the argsort), so per-entry ranks advance <=1 per entry
-    and the two 128-lane blocks covering rank r0 = rank(first entry of
-    the chunk) contain every rank the chunk touches.  The rank of entry
-    e is recovered IN-KERNEL as b0*128 + count(offs_window <= e) - 1
+    and sink in the argsort), so per-entry ranks advance <=1 per entry:
+    one WB = K+1 block window starting at the step's first chunk rank
+    covers every rank the step's K chunks touch.  The rank of entry e is
+    recovered IN-KERNEL as b0j*128 + count(offs_subwindow <= e) - 1
     (offs is nondecreasing; pre-window ranks all satisfy offs <= e), so
     no per-entry rank array is ever materialized in HBM.
 
-    Grid (F, NB): frames fold into the grid (pallas_call is not
+    Round-4 redesign (r3 ran one chunk per grid step = 4096 sequential
+    steps x ~0.6 us of DMA-wait latency = 2.6 ms/frame): K chunks share
+    ONE window DMA, and the next step's window is prefetched while the
+    current one computes (double-buffered across grid steps), so the
+    kernel is compute-bound, not latency-bound.
+
+    Grid (F*NS,): frames fold into the flat grid (pallas_call is not
     vmappable on TPU), so batched envs x cameras run in one launch.
     """
-    f = pl.program_id(0)
-    c = pl.program_id(1)
-    r0 = r0_ref[f, c]
-    b0 = r0 // CHUNK
-    cp0 = pltpu.make_async_copy(meta_hbm.at[f, :, b0],
-                                win.at[:, 0:CHUNK], sem.at[0])
-    cp1 = pltpu.make_async_copy(meta_hbm.at[f, :, b0 + 1],
-                                win.at[:, CHUNK:2 * CHUNK], sem.at[1])
-    cp0.start()
-    cp1.start()
+    i = pl.program_id(0)
+    total = pl.num_programs(0)
+
+    def window_dma(slot, step):
+        f2, s2 = step // NS, step % NS
+        r0 = r0_ref[f2, jnp.minimum(s2 * K, NB - 1)]
+        b0 = jnp.minimum(r0 // CHUNK, nblk - WB)
+        return pltpu.make_async_copy(
+            meta_hbm.at[f2, :, pl.ds(b0 * CHUNK, WB * CHUNK)],
+            win.at[slot], sem.at[slot]), b0
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(0, 0)[0].start()
+
+    @pl.when(i + 1 < total)
+    def _():
+        window_dma((i + 1) % 2, i + 1)[0].start()
+
+    dma, b0 = window_dma(i % 2, i)
+    dma.wait()
+    f, s = i // NS, i % NS
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    e_idx = (c * CHUNK + lane).astype(jnp.float32)        # (1, CHUNK)
-    row = jax.lax.broadcasted_iota(jnp.int32, (2 * CHUNK, CHUNK), 0)
-    cp0.wait()
-    cp1.wait()
-    offs_w = win[3:4, :].T                                # (2C, 1)
-    le = (offs_w <= e_idx).astype(jnp.float32)            # (2C, CHUNK)
-    cnt_le = jnp.sum(le, axis=0, keepdims=True)           # (1, CHUNK)
-    onehot = (row == (cnt_le - 1.0).astype(jnp.int32)).astype(jnp.float32)
-    # HIGHEST precision: exact integer-valued columns (offsets up to
-    # E ~ 2^18) and f32 record fields survive the MXU select
-    cols = jax.lax.dot_general(
-        win[...], onehot, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)               # (n_meta, CHUNK)
-    x0, y0 = cols[0:1, :], cols[1:2, :]
-    w = cols[2:3, :]
-    offs = cols[3:4, :]
-    cnt = cols[4:5, :]
-    # row-major position within the gaussian's tile rect (exact float
-    # math: d <= D-1 = 15, w <= tiles_x, both far under f32 precision)
-    d = e_idx - offs
-    dy = jnp.floor(d / w)
-    dx = d - dy * w
-    tile = (y0 + dy) * gx + x0 + dx
-    live = e_idx < offs + cnt
-    tile_key = jnp.where(live, tile, float(t_sentinel))
-    if rank_mode:
-        # second row = entry's rank (exact small float; combined with the
-        # tile into one int32 sort key outside the kernel)
-        order_key = (b0.astype(jnp.float32) * jnp.float32(CHUNK)
-                     + cnt_le - 1.0)
-        rec0 = 6
-    else:
-        order_key = jnp.where(live, cols[6:7, :], jnp.inf)
-        rec0 = 7
-    out_ref[0, 0] = jnp.concatenate(
-        [tile_key, order_key, cols[5:6, :],
-         cols[rec0:rec0 + n_out - 3, :]], axis=0)
+    for j in range(K):
+        c = s * K + j
+        r0j = r0_ref[f, jnp.minimum(c, NB - 1)]
+        b0j = r0j // CHUNK
+        boff = jnp.clip(b0j - b0, 0, WB - 2)
+        wj = win[i % 2, :, pl.ds(boff * CHUNK, 2 * CHUNK)]  # (R, 2C)
+        e_idx = (c * CHUNK + lane).astype(jnp.float32)    # (1, CHUNK)
+        offs_w = wj[3:4, :].T                             # (2C, 1)
+        le = (offs_w <= e_idx).astype(jnp.float32)        # (2C, CHUNK)
+        cnt_le = jnp.sum(le, axis=0, keepdims=True)       # (1, CHUNK)
+        # offs is nondecreasing, so le per column is a prefix of ones:
+        # the one-hot of the last 1 is le - (le shifted up by one row)
+        le_next = jnp.concatenate(
+            [le[1:], jnp.zeros((1, CHUNK), jnp.float32)], axis=0)
+        onehot = le - le_next
+        # HIGHEST precision: exact integer-valued columns (offsets up to
+        # E ~ 2^19) and f32 record fields survive the MXU select
+        cols = jax.lax.dot_general(
+            wj, onehot, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)           # (n_meta, CHUNK)
+        x0, y0 = cols[0:1, :], cols[1:2, :]
+        w = cols[2:3, :]
+        offs = cols[3:4, :]
+        cnt = cols[4:5, :]
+        # row-major position within the gaussian's tile rect (exact float
+        # math: d <= D-1, w <= tiles_x, both far under f32 precision)
+        d = e_idx - offs
+        dy = jnp.floor(d / w)
+        dx = d - dy * w
+        tile = (y0 + dy) * gx + x0 + dx
+        live = e_idx < offs + cnt
+        tile_key = jnp.where(live, tile, float(t_sentinel))
+        if rank_mode:
+            # second row = entry's rank (exact small float; combined with
+            # the tile into one int32 sort key outside the kernel)
+            order_key = (b0j.astype(jnp.float32) * jnp.float32(CHUNK)
+                         + cnt_le - 1.0)
+            rec0 = 6
+        else:
+            order_key = jnp.where(live, cols[6:7, :], jnp.inf)
+            rec0 = 7
+        out_ref[0, j] = jnp.concatenate(
+            [tile_key, order_key, cols[5:6, :],
+             cols[rec0:rec0 + n_out - 3, :]], axis=0)
 
 
 def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
                  interpret=None, rank_mode: bool = False,
-                 n_rec=None):
+                 n_rec=None, chunks_per_step: int = 8):
     """meta (F, R, Npad) f32 rank-ordered tables (R padded to a multiple
     of 8 — the in-kernel row-window DMA requires sublane alignment), r0
     (F, E/128) int32 start rank per 128-entry chunk -> (F, E/128, n_out,
@@ -199,25 +225,31 @@ def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
         interpret = jax.default_backend() == "cpu"
     F, R, npad = meta.shape
     NB = E // CHUNK
+    nblk = npad // CHUNK
+    K = chunks_per_step
+    while NB % K:
+        K //= 2
+    WB = min(K + 1, nblk)
+    NS = NB // K
     if n_rec is None:
         n_rec = (R - 6) if rank_mode else (R - 7)
     n_out = 3 + n_rec
-    meta = meta.reshape(F, R, npad // CHUNK, CHUNK)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(F, NB),
+        grid=(F * NS,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 1, n_out, CHUNK),
-                               lambda f, c, s: (f, c, 0, 0),
+        out_specs=pl.BlockSpec((1, K, n_out, CHUNK),
+                               lambda i, s: (i // NS, i % NS, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R, 2 * CHUNK), jnp.float32),
+            pltpu.VMEM((2, R, WB * CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_emit_kernel, n_meta=R, n_out=n_out, gx=gx,
-                          t_sentinel=t_sentinel, rank_mode=rank_mode),
+                          t_sentinel=t_sentinel, rank_mode=rank_mode,
+                          K=K, NS=NS, NB=NB, WB=WB, nblk=nblk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, NB, n_out, CHUNK), jnp.float32),
         interpret=interpret,
@@ -235,6 +267,19 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
     x_loc = (li % tile).astype(jnp.float32)     # (n_px, 1) tile-local coords
     y_loc = (li // tile).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    # gaussian evaluation rides the MXU: power(px, e) is a quadratic in
+    # the tile-local pixel coords, so it is ONE (n_px, 6) @ (6, CHUNK)
+    # matmul against per-entry polynomial coefficients instead of ~10 VPU
+    # ops per (pixel, entry) pair (the VPU was the compositor bottleneck
+    # at tile=32: ~305M pairs/frame).  basis is split bf16-hi/lo (x^2 up
+    # to 4096 is not exact in bf16); coeffs split the same way, and the
+    # four-way (hi+lo)@(hi+lo) matmul product keeps ~f32 accuracy.
+    basis = jnp.concatenate(
+        [jnp.ones_like(x_loc), x_loc, y_loc,
+         x_loc * x_loc, x_loc * y_loc, y_loc * y_loc], axis=1)  # (n_px, 6)
+    basis_h = basis.astype(jnp.bfloat16)
+    basis_l = (basis - basis_h.astype(jnp.float32)).astype(jnp.bfloat16)
 
     triu = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
             <= jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
@@ -273,18 +318,31 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
             ids = (b0 + c) * CHUNK + lane                  # (1, CHUNK)
             maskv = (ids >= s) & (ids < e)
             opac = G[5:6, :]
-            # alpha >= ALPHA_MIN <=> power >= log(ALPHA_MIN/opac): the
-            # per-entry threshold folds the alpha cull AND the segment
-            # mask into ONE per-pair compare (thr is (1, CHUNK))
-            thr = jnp.where(maskv,
-                            jnp.log(ALPHA_MIN / jnp.maximum(opac, 1e-12)),
-                            jnp.inf)
-            dx = (G[0:1, :] - ox) - x_loc                  # (n_px, CHUNK)
-            dy = (G[1:2, :] - oy) - y_loc
+            logop = jnp.log(jnp.maximum(opac, 1e-12))      # (1, CHUNK)
+            mlx = G[0:1, :] - ox                           # tile-local means
+            mly = G[1:2, :] - oy
             A, B, C = G[2:3, :], G[3:4, :], G[4:5, :]
-            power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
-            contrib = (power <= 0.0) & (power >= thr)
-            alpha = jnp.minimum(ALPHA_MAX, opac * jnp.exp(power))
+            # power' = power + log(opac) as a polynomial in (x, y); the
+            # segment mask folds into the constant term (-1e30 kills the
+            # pair in both compares below)
+            c0 = jnp.where(
+                maskv,
+                -0.5 * (A * mlx * mlx + C * mly * mly) - B * mlx * mly
+                + logop, -1e30)
+            coef = jnp.concatenate([
+                c0, A * mlx + B * mly, C * mly + B * mlx,
+                -0.5 * A, -B, -0.5 * C], axis=0)           # (6, CHUNK)
+            ch = coef.astype(jnp.bfloat16)
+            cl = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+            dotp = functools.partial(
+                jnp.dot, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            powero = (dotp(basis_h, ch) + dotp(basis_h, cl)
+                      + dotp(basis_l, ch) + dotp(basis_l, cl))  # (n_px, C)
+            # alpha >= ALPHA_MIN <=> power' >= log(ALPHA_MIN); power <= 0
+            # <=> power' <= log(opac)
+            contrib = (powero <= logop) & (powero >= jnp.log(ALPHA_MIN))
+            alpha = jnp.exp(jnp.minimum(powero, jnp.log(ALPHA_MAX)))
             a = jnp.where(contrib, alpha, 0.0)
             X = jnp.log1p(-a)
             # inclusive prefix log-transmittance: split-bf16 two-pass matmul
