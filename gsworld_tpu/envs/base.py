@@ -263,7 +263,7 @@ class GsBaseEnv:
             a_pos=ep.a_pos, a_quat=ep.a_quat,
             a_lin=jnp.zeros((A, 3)), a_ang=jnp.zeros((A, 3)),
             la_forces=jnp.zeros((n_la, 3)),
-            contact_lam=jnp.zeros((contact_row_count(self.scene), 3)),
+            contact_lam=jnp.zeros((contact_row_count(self.scene), 6)),
             a_friction=jnp.asarray(self.scene.actors.friction),
             a_scale=jnp.ones((A,)))
         world, task = self._randomize_world(world, ep.task, dr_key)

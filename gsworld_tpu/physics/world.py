@@ -89,6 +89,27 @@ class SolverParams:
     # the approach at the surface and activates the neighboring hull
     # vertices, so the patch has enough rows to block the rotation escape.
     contact_margin: float = 0.008
+    # SAT axis preference for link-actor pairs: the directed query whose
+    # winning face is a polygonal ACTOR facet only wins the pair's shared
+    # normal if it is shallower than the flat LINK face axis by more than
+    # this.  A convex-mesh can held between flat fingers otherwise flips
+    # to a facet normal tilted up to half the facet angle (measured
+    # [-0.11,-0.99,0.03] vs the finger's [0,-1,-0.01]); a 19 N squeeze
+    # along a 6 degree tilted axis puts ~2 N of unopposed sideways force
+    # on a 4 g object — the watermelon-seed launch that ejected grasped
+    # cans at 4-9 m/s.  PhysX's PCM face selection applies the same kind
+    # of reference-face stickiness.
+    link_face_pref: float = 0.003
+    # Safety valve (PhysX maxDepenetrationVelocity/maxContactImpulse
+    # spirit): if the exact normal presolve + friction stage would change
+    # a free actor's linear velocity by more than |v_free| + max_kick_lin
+    # (or angular by |w_free| + max_kick_ang), its rows fall back to the
+    # gated warm start and the monotone Jacobi polish handles that
+    # substep.  Catches ill-conditioned active sets (near-parallel
+    # opposing rows on a light body at SAT axis flips) whose exact solve
+    # emits huge near-cancelling impulses with m/s-scale residuals.
+    max_kick_lin: float = 0.5
+    max_kick_ang: float = 25.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,8 +169,13 @@ class WorldState:
     a_ang: jnp.ndarray     # (A, 3)
     # diagnostics / queries, refreshed each control step
     la_forces: jnp.ndarray # (n_la, 3) world force of actor on link
-    # warm-start impulses for the contact solver (static row layout)
-    contact_lam: jnp.ndarray = None  # (C, 3)
+    # warm-start state for the contact solver (static row layout):
+    # [lam_n, lam_t1, lam_t2, pos_xyz].  The position gates the warm
+    # start: patch reduction reshuffles which support points own which
+    # rows, and replaying a friction impulse at a relocated point kicks
+    # light objects out of grasps (PhysX warm-starts per *matched*
+    # contact; proximity is the TPU-friendly stand-in for feature ids).
+    contact_lam: jnp.ndarray = None  # (C, 6)
     # per-env actor friction (domain randomization; defaults to the static
     # scene values, real_xarm_env.py:163-183)
     a_friction: jnp.ndarray = None   # (A,)
@@ -218,12 +244,14 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
     q_src_kind, q_src, q_dst_kind, q_dst = [], [], [], []
     q_body_a, q_body_b = [], []
     q_mu_dyn = []   # traced per-query friction
+    q_pref = []     # SAT-score penalty (see SolverParams.link_face_pref)
     for (i, j) in aa:
         for (s, d) in ((int(i), int(j)), (int(j), int(i))):
             q_src_kind.append(1); q_src.append(s)
             q_dst_kind.append(1); q_dst.append(d)
             q_body_a.append(L + s); q_body_b.append(L + d)
             q_mu_dyn.append(0.5 * (a_fric[s] + a_fric[d]))
+            q_pref.append(0.0)
     la_spans = []
     base = sum(s.pen.shape[0] for s in sets)
     R = min(scene.solver.contact_patch, K) if K else 0
@@ -235,6 +263,9 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
         q_dst_kind += [1, 0]; q_dst += [a, l]
         q_body_a += [l, L + a]; q_body_b += [L + a, l]
         q_mu_dyn += [mu, mu]
+        # penalize the link-pts->actor-hull query (its axis is an actor
+        # FACET normal): flat link faces give grasp-stable axes
+        q_pref += [scene.solver.link_face_pref, 0.0]
         la_spans.append((start, start + 2 * R))
 
     if q_src:
@@ -285,7 +316,8 @@ def _generate_contacts(scene: PhysicsScene, kin, state: WorldState):
         part = jnp.arange(Q, dtype=jnp.int32) ^ 1         # partner query
         overlap = jnp.minimum(best_d, best_d[part]) > -mg
         even = (jnp.arange(Q) % 2) == 0
-        win = jnp.where(even, best_d <= best_d[part], best_d < best_d[part])
+        score = best_d + jnp.asarray(q_pref, jnp.float32)
+        win = jnp.where(even, score <= score[part], score < score[part])
         n_win = jnp.take_along_axis(
             nrm_f, best_f[:, None, None], axis=1)[:, 0]   # (Q, 3)
         pen = -jnp.take_along_axis(
@@ -338,9 +370,14 @@ def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
     A = scene.actors.num
     nC = contacts.pen.shape[0]
     if nC == 0:
-        return qvel_free, a_lin_free, a_ang_free, jnp.zeros((0, 3))
+        return qvel_free, a_lin_free, a_ang_free, jnp.zeros((0, 6))
     if lam0 is None:
-        lam0 = jnp.zeros((nC, 3))
+        lam0 = jnp.zeros((nC, 6))
+    # warm-start gating: only replay impulses whose contact point is
+    # still (nearly) where it was when the impulse was computed
+    matched = (jnp.sum((contacts.pos - lam0[:, 3:6]) ** 2, axis=-1)
+               < 0.005 ** 2)
+    lam0 = jnp.where(matched[:, None], lam0[:, :3], 0.0)
 
     n = contacts.normal
     t1, t2 = _tangent_basis(n)
@@ -514,40 +551,176 @@ def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
                  - oh_b[:, :, None] * rxn_b[:, None, :])
         An = An + _einsum("cak,a,dak->cd", G_lin, inv_mass, G_lin)
         An = An + _einsum("cak,akl,dal->cd", G_ang, Iw_inv, G_ang)
-    # relative compliance regularization keeps the masked solve
-    # well-posed when several rows on one face are near-parallel
+    # Tikhonov regularization keeps the masked solve well-posed: rows on
+    # a sandwiched body are redundant (rank-deficient An), and shrinking
+    # the regularization to restore hard contact makes the f32 solve
+    # produce huge near-cancelling impulse pairs (measured: a first-touch
+    # squeeze launched a 4 g can at 26 m/s at 1e-5 rel. compliance).  But
+    # plain 1e-3 compliance is real softness for light actors (diag ~
+    # 300-800 1/kg): the presolved pinch still closed at ~0.1 m/s and
+    # fingers ground 17 mm into the can until the SAT axis flipped.  So:
+    # solve with the well-conditioned 1e-3 matrix, then remove its
+    # compliance bias by iterative refinement against the UNregularized
+    # Delassus (error shrinks ~1e-3 per sweep in range-space directions;
+    # null-space components stay bounded by the regularized solve).
+    An_raw = An
     An = An + 1e-3 * jnp.diag(jnp.diagonal(An)) + 1e-9 * jnp.eye(nC)
 
-    # free normal velocity including the warm-started friction impulses
-    lam_t = lam0.at[:, 0].set(0.0)
-    dq_t, dl_t, da_t = deltas_from_lam(lam_t)
-    v0n = body_vel(qvel_free + dq_t, a_lin_free + dl_t,
-                   a_ang_free + da_t)[:, 0]
-    rhs = v0n - b                                         # w = An x + rhs
+    def normal_newton(lam_f, x_init):
+        """Semismooth (min-map) Newton on min(x, w) = 0: solve w = 0 on
+        the active set, then switch act <- {x > w}.  The earlier rule
+        act <- {x>0 or w<0} got STUCK when the unconstrained solve
+        returned x < 0 on a row with w < 0: clamping x to 0 kept the row
+        active and every subsequent solve reproduced the identical
+        solution — on a gripper squeeze the residual closing velocity
+        survived "exact" presolves and the fingers ground 2-4 cm into
+        the object, deep enough to flip the SAT axis and lose the grasp.
 
-    # semismooth (min-map) Newton on min(x, w) = 0: solve w = 0 on the
-    # active set, then switch act <- {x > w}.  The earlier rule
-    # act <- {x>0 or w<0} got STUCK when the unconstrained solve returned
-    # x < 0 on a row with w < 0: clamping x to 0 kept the row active and
-    # every subsequent solve reproduced the identical solution — on a
-    # gripper squeeze the residual closing velocity survived "exact"
-    # presolves and the fingers ground 2-4 cm into the object, deep
-    # enough to flip the SAT axis and lose the grasp.
-    x = jnp.maximum(lam0[:, 0], 0.0)
-    act = act_mask & ((x > 0.0) | (rhs < 0.0))
-    for _ in range(8):
-        m2 = act[:, None] & act[None, :]
-        A_m = jnp.where(m2, An, 0.0) + jnp.diag(jnp.where(act, 0.0, 1.0))
-        x = jnp.linalg.solve(A_m, jnp.where(act, -rhs, 0.0))
-        x = jnp.where(act, x, 0.0)                # unclamped on act
-        w = An @ x + rhs
-        act = act_mask & (x > w)
-    x = jnp.maximum(jnp.where(act, x, 0.0), 0.0)
-    lam0 = lam0.at[:, 0].set(x)
+        ``lam_f`` (C, 2): friction impulses folded into the free
+        velocity, so normals and friction stagger to a consistent pair.
+        """
+        lam_nf = jnp.concatenate([jnp.zeros((nC, 1)), lam_f], axis=1)
+        dq_t, dl_t, da_t = deltas_from_lam(lam_nf)
+        v0n = body_vel(qvel_free + dq_t, a_lin_free + dl_t,
+                       a_ang_free + da_t)[:, 0]
+        rhs = v0n - b                                     # w = An x + rhs
+        x = jnp.maximum(x_init, 0.0)
+        act = act_mask & ((x > 0.0) | (rhs < 0.0))
+        for _ in range(7):
+            m2 = act[:, None] & act[None, :]
+            A_m = jnp.where(m2, An, 0.0) + jnp.diag(
+                jnp.where(act, 0.0, 1.0))
+            A_raw = jnp.where(m2, An_raw, 0.0) + jnp.diag(
+                jnp.where(act, 0.0, 1.0))
+            rhs_m = jnp.where(act, rhs, 0.0)
+            x = jnp.linalg.solve(A_m, -rhs_m)
+            for _ in range(2):  # refine away the Tikhonov compliance bias
+                x = x - jnp.linalg.solve(A_m, A_raw @ x + rhs_m)
+            x = jnp.where(act, x, 0.0)            # unclamped on act
+            w = An_raw @ x + rhs
+            act = act_mask & (x > w)
+        return jnp.maximum(jnp.where(act, x, 0.0), 0.0)
 
-    lam, _ = jax.lax.scan(iteration, lam0, None, length=sp.iterations)
+    # ---- exact friction solve ----------------------------------------- #
+    # The Jacobi polish alone cannot deliver the precise tangential
+    # balance a 4 g object pinched at ~30 N needs: its fixed point
+    # depends on the warm start, and when patch reduction reshuffles
+    # contact points the transient imbalance kicks the object out at
+    # m/s scale (one substep of unbalanced 30 N on 4 g = 75 m/s^2*s).
+    # Friction at fixed normal impulses is a box-constrained QP on the
+    # tangential Delassus; projected Newton on the free set solves it
+    # exactly and warm-start-independently.
+    tdir = dirs[:, 1:, :].reshape(2 * nC, 3)
+    Jt = J_rob[:, 1:, :].reshape(2 * nC, -1)
+    if scene.model is not None and scene.model.dof > 0:
+        At = _einsum("cd,de,fe->cf", Jt, Minv_eff, Jt)
+    else:
+        At = jnp.zeros((2 * nC, 2 * nC))
+    if A:
+        oh_a2 = jnp.repeat(oh_a, 2, axis=0)               # (2C, A)
+        oh_b2 = jnp.repeat(oh_b, 2, axis=0)
+        rxt_a = rxd_a[:, 1:, :].reshape(2 * nC, 3)
+        rxt_b = rxd_b[:, 1:, :].reshape(2 * nC, 3)
+        Gl = (oh_a2[:, :, None] * tdir[:, None, :]
+              - oh_b2[:, :, None] * tdir[:, None, :])
+        Ga = (oh_a2[:, :, None] * rxt_a[:, None, :]
+              - oh_b2[:, :, None] * rxt_b[:, None, :])
+        At = At + _einsum("cak,a,dak->cd", Gl, inv_mass, Gl)
+        At = At + _einsum("cak,akl,dal->cd", Ga, Iw_inv, Ga)
+    At_raw = At
+    At = At + 1e-3 * jnp.diag(jnp.diagonal(At)) + 1e-9 * jnp.eye(2 * nC)
+
+    def friction_qp(x_n, y_init):
+        """Box QP: min 1/2 y^T At y + y^T r  s.t. |y_i| <= mu_i x_n_i."""
+        lim2 = jnp.repeat(contacts.friction * x_n, 2)
+        lam_no = jnp.concatenate(
+            [x_n[:, None], jnp.zeros((nC, 2))], axis=1)
+        dq_t, dl_t, da_t = deltas_from_lam(lam_no)
+        r_t = body_vel(qvel_free + dq_t, a_lin_free + dl_t,
+                       a_ang_free + da_t)[:, 1:].reshape(2 * nC)
+        y = jnp.clip(y_init.reshape(2 * nC), -lim2, lim2)
+        okr = jnp.repeat(act_mask, 2) & (lim2 > 0.0)
+        for _ in range(3):
+            g = At_raw @ y + r_t
+            at_hi = y >= lim2 * (1.0 - 1e-5)
+            at_lo = y <= -lim2 * (1.0 - 1e-5)
+            free = okr & ~((at_hi & (g <= 0.0)) | (at_lo & (g >= 0.0)))
+            y_b = jnp.where(free, 0.0, jnp.where(okr, y, 0.0))
+            m2 = free[:, None] & free[None, :]
+            A_m = jnp.where(m2, At, 0.0) + jnp.diag(
+                jnp.where(free, 0.0, 1.0))
+            A_raw = jnp.where(m2, At_raw, 0.0) + jnp.diag(
+                jnp.where(free, 0.0, 1.0))
+            rr = jnp.where(free, r_t + At_raw @ y_b, 0.0)
+            yf = jnp.linalg.solve(A_m, -rr)
+            yf = yf - jnp.linalg.solve(A_m, A_raw @ yf + rr)
+            y = jnp.clip(jnp.where(free, yf, y_b), -lim2, lim2)
+        return y.reshape(nC, 2)
+
+    def friction_pgs(x_n, y_init):
+        """Box-projected diagonally-preconditioned Jacobi on the exact
+        tangential system: monotone for PSD At, never produces the
+        clipped-cancellation kicks the active-set solve can."""
+        lim2 = jnp.repeat(contacts.friction * x_n, 2)
+        lam_no = jnp.concatenate(
+            [x_n[:, None], jnp.zeros((nC, 2))], axis=1)
+        dq_t, dl_t, da_t = deltas_from_lam(lam_no)
+        r_t = body_vel(qvel_free + dq_t, a_lin_free + dl_t,
+                       a_ang_free + da_t)[:, 1:].reshape(2 * nC)
+        Dt = jnp.maximum(jnp.diagonal(At_raw), 1e-9)
+        okr = jnp.repeat(act_mask, 2) & (lim2 > 0.0)
+        split2 = jnp.repeat(split, 2)
+        y = jnp.where(okr, jnp.clip(y_init.reshape(2 * nC), -lim2, lim2),
+                      0.0)
+        for _ in range(24):
+            g = At_raw @ y + r_t
+            y = jnp.clip(y - split2 * g / Dt, -lim2, lim2)
+            y = jnp.where(okr, y, 0.0)
+        return y.reshape(nC, 2)
+
+    import os as _os
+    # "off" (default): friction builds in the Jacobi polish, which is
+    # monotone under mass splitting and never emits the clipped-
+    # cancellation kicks the exact stages can; the measured grasp
+    # contracts (test_xarm_agent.py) hold with the polish alone.  The
+    # exact stages stay available for experiments (GSW_FQP=qp|pgs).
+    _fqp = _os.environ.get("GSW_FQP", "off")
+    x = normal_newton(lam0[:, 1:], lam0[:, 0])
+    if _fqp == "qp":
+        y = friction_qp(x, lam0[:, 1:])
+        x = normal_newton(y, x)
+    elif _fqp == "pgs":
+        y = friction_pgs(x, lam0[:, 1:])
+        x = normal_newton(y, x)
+    else:  # "off": friction handled by the polish alone (r3 behavior)
+        y = lam0[:, 1:]
+    lam_ps = jnp.concatenate([x[:, None], y], axis=1)
+
+    # ---- kick safety valve -------------------------------------------- #
+    # The exact presolve can return huge near-cancelling impulse sets on
+    # ill-conditioned active sets (near-parallel opposing rows on a light
+    # body the instant a SAT axis flips); their residual arrives as an
+    # m/s-scale kick.  Physical substep deltas are bounded by the free
+    # velocity plus the bias budget, so any actor whose presolve delta
+    # exceeds that falls back to the gated warm start and lets the
+    # monotone polish carry the substep (PhysX ships the same guard as
+    # maxDepenetrationVelocity / maxContactImpulse).
+    if A:
+        _, dlin_ps, dang_ps = deltas_from_lam(lam_ps)
+        bad_a = ((jnp.linalg.norm(dlin_ps, axis=-1)
+                  > jnp.linalg.norm(a_lin_free, axis=-1) + sp.max_kick_lin)
+                 | (jnp.linalg.norm(dang_ps, axis=-1)
+                    > jnp.linalg.norm(a_ang_free, axis=-1)
+                    + sp.max_kick_ang))
+        bad_pad = jnp.concatenate([bad_a, jnp.zeros((1,), bool)])
+        row_bad = bad_pad[seg_a] | bad_pad[seg_b]
+        lam_ps = jnp.where(row_bad[:, None], lam0, lam_ps)
+
+    lam, _ = jax.lax.scan(iteration, lam_ps, None, length=sp.iterations)
     dqvel, dlin, dang = deltas_from_lam(lam)
-    return (qvel_free + dqvel, a_lin_free + dlin, a_ang_free + dang, lam)
+    lam_state = jnp.concatenate([lam, contacts.pos], axis=1)
+    return (qvel_free + dqvel, a_lin_free + dlin, a_ang_free + dang,
+            lam_state)
 
 
 # ---------------------------------------------------------------------- #

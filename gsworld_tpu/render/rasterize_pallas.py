@@ -332,13 +332,19 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
             coef = jnp.concatenate([
                 c0, A * mlx + B * mly, C * mly + B * mlx,
                 -0.5 * A, -B, -0.5 * C], axis=0)           # (6, CHUNK)
+            # coef split 3-way (24 mantissa bits ~ f32); basis split is
+            # exact (integer entries < 1024), so the 6-matmul product
+            # reproduces the VPU-evaluated power to f32 rounding
             ch = coef.astype(jnp.bfloat16)
-            cl = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+            rm = coef - ch.astype(jnp.float32)
+            cm = rm.astype(jnp.bfloat16)
+            cl = (rm - cm.astype(jnp.float32)).astype(jnp.bfloat16)
             dotp = functools.partial(
                 jnp.dot, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
-            powero = (dotp(basis_h, ch) + dotp(basis_h, cl)
-                      + dotp(basis_l, ch) + dotp(basis_l, cl))  # (n_px, C)
+            powero = (dotp(basis_h, ch) + dotp(basis_h, cm)
+                      + dotp(basis_h, cl) + dotp(basis_l, ch)
+                      + dotp(basis_l, cm) + dotp(basis_l, cl))  # (n_px, C)
             # alpha >= ALPHA_MIN <=> power' >= log(ALPHA_MIN); power <= 0
             # <=> power' <= log(opac)
             contrib = (powero <= logop) & (powero >= jnp.log(ALPHA_MIN))

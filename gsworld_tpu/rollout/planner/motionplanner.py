@@ -15,6 +15,7 @@ actions.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -157,6 +158,10 @@ class MotionPlanningSolver:
                 q_cur, conv = self._ik(jnp.asarray(p), jnp.asarray(qt),
                                        q_cur, jnp.asarray(rp), jnp.asarray(rq))
                 if not bool(conv):
+                    if os.environ.get("GSW_TRACE", "0") == "1":
+                        print(f"  [ik-fail      ] attempt={attempt} "
+                              f"wp={len(qs)}/{n} p={np.round(p, 4)} "
+                              f"from tcp={np.round(p_now, 4)}", flush=True)
                     ok = False
                     break
                 qs.append(np.asarray(q_cur)[list(self.arm_dofs)])

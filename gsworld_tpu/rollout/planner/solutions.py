@@ -71,43 +71,70 @@ def _move(planner, pos, quat, refine_steps: int = 0, speed: float = 0.5):
     return res
 
 
+def _grasp_attempt(env, planner, obj_name, grasp_z, hover):
+    """Align at hover -> descend -> close -> short lift; returns the
+    measured object z-rise (negative/zero = missed or knocked)."""
+    obj = _actor_pos(env, obj_name)
+    grasp = obj + np.array([0, 0, grasp_z], np.float32)
+    # settle xy AT HOVER before any descend: the reach arrives with up to
+    # ~3 cm of PD tracking lag, and the UMI opening (8 cm) clears a DTC
+    # can (7.4 cm) by only ~3 mm per side — an unsettled descend sweeps a
+    # finger sideways through the can and tips it over (r3 failure mode:
+    # Align can 2 knocked flat on every seed)
+    if planner.move_to_pose_with_screw(grasp + [0, 0, hover], TOPDOWN_Q,
+                                       refine_steps=5, speed=0.3) == -1:
+        return None
+    _trace(env, planner, "settle-xy", obj_name)
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.06], TOPDOWN_Q,
+                                       refine_steps=2, speed=0.2) == -1:
+        return None
+    if planner.move_to_pose_with_screw(grasp, TOPDOWN_Q,
+                                       refine_steps=2, speed=0.12) == -1:
+        return None
+    _trace(env, planner, "descend", obj_name)
+    planner.close_gripper(steps=8)
+    _trace(env, planner, "grasp", obj_name)
+    z0 = _actor_pos(env, obj_name)[2]
+    # carry phases at <= 0.2 m/s: the friction cone of the light can
+    # against the UMI pads slips beyond ~0.25 m/s; the first cm of the
+    # lift is the most slip-prone (contact equilibrium re-forms)
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.04], TOPDOWN_Q,
+                                       speed=0.08, refine_steps=1) == -1:
+        return None
+    return _actor_pos(env, obj_name)[2] - z0
+
+
 def pick_and_place(env, planner, obj_name: str, place_pos,
                    grasp_z: float = 0.02, hover: float = 0.10,
                    settle: int = 10):
-    """reach -> descend -> grasp -> lift -> transport -> release.
+    """reach -> settle xy -> descend -> grasp (verified, one retry) ->
+    lift -> transport -> release.
 
     ``place_pos`` is the target OBJECT-CENTER position: after the lift the
     TCP target is offset by the measured tcp-to-object vector, so the
     object (not the gripper) lands at ``place_pos`` — the reference's
     ``offset = goal_pose.p - obj.pose.p`` align move (franka/solutions/
-    align.py:103-110).
-
-    Phases are step-frugal: the whole two-object Align solve must fit the
-    reference's max_episode_steps=100 at control 20 Hz (align.py:27)."""
+    align.py:103-110).  The reference gates the lift on
+    ``is_grasped_{i}`` (align.py:94-99); here the grasp check is the
+    measured object z-rise over the first 4 cm of lift, with ONE retry
+    from the object's post-knock position."""
     obj = _actor_pos(env, obj_name)
     grasp = obj + np.array([0, 0, grasp_z], np.float32)
     planner.open_gripper(steps=2)
     if _move(planner, grasp + [0, 0, hover], TOPDOWN_Q, speed=0.6) == -1:
         return -1
     _trace(env, planner, "reach", obj_name)
-    # settle xy BEFORE the fingers reach the object's height: the UMI
-    # opening (8 cm) clears a DTC can (6.6 cm) by 7 mm per side, and a
-    # fast unrefined descend at far reach drifts enough to tip the can
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.06], TOPDOWN_Q,
-                                       refine_steps=2, speed=0.2) == -1:
+    rise = _grasp_attempt(env, planner, obj_name, grasp_z, hover)
+    if rise is None:
         return -1
-    if planner.move_to_pose_with_screw(grasp, TOPDOWN_Q,
-                                       refine_steps=2, speed=0.12) == -1:
-        return -1
-    _trace(env, planner, "descend", obj_name)
-    planner.close_gripper(steps=8)
-    _trace(env, planner, "grasp", obj_name)
-    # carry phases at <= 0.2 m/s: the friction cone of the light can
-    # against the UMI pads slips beyond ~0.25 m/s; the first cm of the
-    # lift is the most slip-prone (contact equilibrium re-forms)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.04], TOPDOWN_Q,
-                                       speed=0.08, refine_steps=1) == -1:
-        return -1
+    if rise < 0.02:  # missed / knocked: retry once from the new position
+        _trace(env, planner, "regrasp", obj_name)
+        planner.open_gripper(steps=2)
+        rise = _grasp_attempt(env, planner, obj_name, grasp_z, hover)
+        if rise is None:
+            return -1
+    obj = _actor_pos(env, obj_name)
+    grasp = obj + np.array([0, 0, grasp_z - 0.04], np.float32)
     if planner.move_to_pose_with_screw(grasp + [0, 0, hover + 0.05],
                                        TOPDOWN_Q, speed=0.2) == -1:
         return -1

@@ -37,7 +37,7 @@ def init_state(model, scene, qpos, a_pos, a_quat=None):
         a_quat=jnp.asarray(a_quat, jnp.float32),
         a_lin=jnp.zeros((A, 3)), a_ang=jnp.zeros((A, 3)),
         la_forces=jnp.zeros((max(len(np.asarray(scene.la_pairs).reshape(-1, 2)), 1), 3)),
-        contact_lam=jnp.zeros((contact_row_count(scene), 3)),
+        contact_lam=jnp.zeros((contact_row_count(scene), 6)),
     )
 
 

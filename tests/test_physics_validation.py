@@ -32,7 +32,7 @@ def make_world(actor_defs, a_pos, a_lin=None, sim_freq=120, control_freq=40):
         else jnp.zeros((A, 3)),
         a_ang=jnp.zeros((A, 3)),
         la_forces=jnp.zeros((1, 3)),
-        contact_lam=jnp.zeros((contact_row_count(scene), 3)),
+        contact_lam=jnp.zeros((contact_row_count(scene), 6)),
         a_friction=jnp.asarray(scene.actors.friction),
     )
     return scene, model, state
