@@ -121,6 +121,17 @@ def pick_and_place(env, planner, obj_name: str, place_pos,
     obj = _actor_pos(env, obj_name)
     grasp = obj + np.array([0, 0, grasp_z], np.float32)
     planner.open_gripper(steps=2)
+    # two-stage reach: transit HORIZONTALLY at the current (post-release)
+    # height, then descend vertically to hover.  A single diagonal screw
+    # from above a placed object swings the open fingers down-and-across
+    # the scene while still near the start — measured on Align seed 0:
+    # the transit toward can 2 dragged the fingers through can 1 standing
+    # on the rack and flung it off at 0.45 m/s / 12 rad/s.
+    tcp_now, _ = planner.tcp_pose()
+    z_keep = max(float(tcp_now[2]), float(grasp[2] + hover))
+    if _move(planner, np.array([grasp[0], grasp[1], z_keep], np.float32),
+             TOPDOWN_Q, speed=0.6) == -1:
+        return -1
     if _move(planner, grasp + [0, 0, hover], TOPDOWN_Q, speed=0.6) == -1:
         return -1
     _trace(env, planner, "reach", obj_name)

@@ -24,6 +24,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--env", default="AlignFr3Env-v1")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--watch", default=None,
+                   help="actor name: print its state at every env step "
+                        "where |v| > --vmin")
+    p.add_argument("--vmin", type=float, default=0.05)
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -34,6 +38,27 @@ def main():
     env = envs.make(args.env, num_envs=1, obs_mode="state_dict",
                     control_mode="pd_joint_pos",
                     sim_config=dict(sim_freq=100, control_freq=20))
+
+    if args.watch:
+        base = env
+        while hasattr(base, "env"):
+            base = base.env
+        wi = base.actor_index[args.watch]
+        orig_step = env.step
+
+        def step_watch(action):
+            out = orig_step(action)
+            w = base.state.world
+            p = np.asarray(w.a_pos[0, wi])
+            v = np.asarray(w.a_lin[0, wi])
+            om = np.asarray(w.a_ang[0, wi])
+            el = int(base.state.elapsed[0])
+            if np.linalg.norm(v) > args.vmin:
+                print(f"    step el={el:3d} p={np.round(p, 3)} "
+                      f"v={np.round(v, 3)} w={np.round(om, 2)}", flush=True)
+            return out
+
+        env.step = step_watch
 
     def report(tag, planner=None):
         base = env
