@@ -119,8 +119,16 @@ def matrix_to_quat(m):
 
 
 def axis_angle_to_quat(axis_angle):
-    """Axis-angle vector (..., 3) -> wxyz quaternion."""
-    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    """Axis-angle vector (..., 3) -> wxyz quaternion.
+
+    Differentiable at zero: jnp.linalg.norm has a NaN gradient at 0
+    (0/0), which poisoned every FK Jacobian at configurations with a
+    joint at exactly 0.0 (the xarm task init pose) — the root cause of
+    the round-4 xarm IK failures.  sqrt(max(sq, tiny)) has gradient 0
+    at sq=0, and the true quat derivative there ([0, 0.5·I]) flows
+    entirely through the small-angle k branch."""
+    sq = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    angle = jnp.sqrt(jnp.maximum(sq, 1e-24))
     half = 0.5 * angle
     # sinc-based small-angle-safe form
     k = jnp.where(angle < 1e-8, 0.5 - angle * angle / 48.0, jnp.sin(half) / jnp.maximum(angle, 1e-30))

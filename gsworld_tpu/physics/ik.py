@@ -80,8 +80,11 @@ def solve_ik(model: ArticulationModel, ee_link: str, target_pos, target_quat,
         qa = jnp.clip(qa + step * dq, lo, hi)
         return q_full.at[act].set(qa), e
 
-    q_full, e = jax.lax.fori_loop(0, iters, body,
+    q_full, _ = jax.lax.fori_loop(0, iters, body,
                                   (jnp.asarray(q_init), jnp.zeros(6)))
+    # convergence from the POST-update error (the loop carry holds the
+    # error of the penultimate iterate)
+    e = err_of(q_full[act], q_full)
     converged = ((jnp.linalg.norm(e[:3]) < pos_tol * 10)
                  & (jnp.linalg.norm(e[3:]) < rot_tol * 10))
     return q_full, converged

@@ -23,6 +23,7 @@ Per-pair contact forces are accumulated and exposed for grasp checks
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -110,6 +111,12 @@ class SolverParams:
     # emits huge near-cancelling impulses with m/s-scale residuals.
     max_kick_lin: float = 0.5
     max_kick_ang: float = 25.0
+    # Friction stage of the exact presolve: "off" (default — friction
+    # builds in the monotone Jacobi polish), "qp", or "pgs".  A config
+    # field (not an env var) so it participates in the jit cache key;
+    # the GSW_FQP env var is honored once at module import as the
+    # process-wide default for experiments (ADVICE r4).
+    friction_stage: str = os.environ.get("GSW_FQP", "off")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -678,13 +685,13 @@ def _solve_contacts(scene: PhysicsScene, kin, contacts: C.ContactSet,
             y = jnp.where(okr, y, 0.0)
         return y.reshape(nC, 2)
 
-    import os as _os
     # "off" (default): friction builds in the Jacobi polish, which is
     # monotone under mass splitting and never emits the clipped-
     # cancellation kicks the exact stages can; the measured grasp
     # contracts (test_xarm_agent.py) hold with the polish alone.  The
-    # exact stages stay available for experiments (GSW_FQP=qp|pgs).
-    _fqp = _os.environ.get("GSW_FQP", "off")
+    # exact stages stay available for experiments (SolverParams
+    # .friction_stage; GSW_FQP sets the process default at import).
+    _fqp = sp.friction_stage
     x = normal_newton(lam0[:, 1:], lam0[:, 0])
     if _fqp == "qp":
         y = friction_qp(x, lam0[:, 1:])

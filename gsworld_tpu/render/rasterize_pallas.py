@@ -201,9 +201,12 @@ def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
         tile_key = jnp.where(live, tile, float(t_sentinel))
         if rank_mode:
             # second row = entry's rank (exact small float; combined with
-            # the tile into one int32 sort key outside the kernel)
-            order_key = (b0j.astype(jnp.float32) * jnp.float32(CHUNK)
-                         + cnt_le - 1.0)
+            # the tile into one int32 sort key outside the kernel).
+            # cnt_le counts rows of the 2-block subwindow that starts at
+            # block (b0 + boff) — use that start, not b0j: they differ
+            # whenever the boff/b0 clamps bind (ADVICE r4).
+            order_key = ((b0 + boff).astype(jnp.float32)
+                         * jnp.float32(CHUNK) + cnt_le - 1.0)
             rec0 = 6
         else:
             order_key = jnp.where(live, cols[6:7, :], jnp.inf)
@@ -264,8 +267,13 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
     gx = cfg.tiles_x
 
     li = jax.lax.broadcasted_iota(jnp.int32, (n_px, 1), 0)
-    x_loc = (li % tile).astype(jnp.float32)     # (n_px, 1) tile-local coords
-    y_loc = (li // tile).astype(jnp.float32)
+    # tile-local coords CENTERED on the tile (integer shift by tile//2):
+    # halves the worst-case |mlx| operand of the expanded quadratic, whose
+    # large-term cancellation is the dominant error for high-aspect splats
+    # binned far from their mean (ADVICE r4)
+    half = tile // 2
+    x_loc = (li % tile - half).astype(jnp.float32)   # (n_px, 1)
+    y_loc = (li // tile - half).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     # gaussian evaluation rides the MXU: power(px, e) is a quadratic in
@@ -298,8 +306,8 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
         e = starts_ref[f, t + 1]
         b0 = s // CHUNK
         nch = jnp.where(e > s, (e - b0 * CHUNK + CHUNK - 1) // CHUNK, 0)
-        ox = ((t % gx) * tile).astype(jnp.float32)
-        oy = ((t // gx) * tile).astype(jnp.float32)
+        ox = ((t % gx) * tile + half).astype(jnp.float32)
+        oy = ((t // gx) * tile + half).astype(jnp.float32)
 
         @pl.when(nch > 0)
         def _():

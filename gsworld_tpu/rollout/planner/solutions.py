@@ -144,6 +144,10 @@ def pick_and_place(env, planner, obj_name: str, place_pos,
         rise = _grasp_attempt(env, planner, obj_name, grasp_z, hover)
         if rise is None:
             return -1
+        if rise < 0.02:
+            # twice-failed grasp: transporting nothing would burn the
+            # episode budget and can knock other objects (ADVICE r4)
+            return -1
     obj = _actor_pos(env, obj_name)
     grasp = obj + np.array([0, 0, grasp_z - 0.04], np.float32)
     if planner.move_to_pose_with_screw(grasp + [0, 0, hover + 0.05],

@@ -89,9 +89,10 @@ def collect(env_id: str = "AlignFr3Env-v1", cfg_name: str = "fr3_align",
                   f"failed_plans={failed_plans} "
                   f"elapsed={time.time()-t0:.1f}s", flush=True)
     rec.close()
+    executed = tried - failed_plans  # episodes whose plan produced steps
     stats = {
         "num_traj": passed, "tried": tried,
-        "success_rate": (tried - failed_plans) and passed / tried,
+        "success_rate": passed / executed if executed else 0.0,
         "failed_plan_rate": failed_plans / max(tried, 1),
         "avg_episode_len": float(np.mean(ep_lens)) if ep_lens else None,
     }
