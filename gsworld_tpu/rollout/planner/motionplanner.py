@@ -224,6 +224,18 @@ class MotionPlanningSolver:
             self.elapsed_steps += 1
         return result
 
+    def set_gripper(self, value: float, steps: int = 6):
+        """Drive the gripper to an intermediate command (e.g. a loose cage
+        that releases the squeeze without fully opening)."""
+        self.gripper_state = float(value)
+        q0, _, _ = self._state0()
+        result = None
+        for _ in range(steps):
+            result = self.env.step(
+                self._action(q0[list(self.arm_dofs)], self.gripper_state))
+            self.elapsed_steps += 1
+        return result
+
     def close(self):
         pass
 

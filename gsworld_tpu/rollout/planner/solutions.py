@@ -34,11 +34,43 @@ def build_grasp_quat(approaching, closing):
 TOPDOWN_Q = build_grasp_quat([0, 0, -1.0], [0, 1.0, 0])
 
 
-def _actor_pos(env, name):
+def _base_env(env):
     base = env
     while hasattr(base, "env"):
         base = base.env
+    return base
+
+
+def _actor_pos(env, name):
+    base = _base_env(env)
     return np.asarray(base.state.world.a_pos[0, base.actor_index[name]])
+
+
+def _grasp_quat_for(env, name):
+    """Top-down grasp quat with the closing axis from the actor's OBB —
+    the reference's compute_grasp_info_by_obb (mani_skill panda utils,
+    used by every solution, e.g. xarm6/solutions/rotate_banana.py:43-49):
+    fingers close across the object's SHORTEST horizontal extent, so
+    elongated objects (spoon, banana) are straddled instead of pinned
+    along their long axis."""
+    base = _base_env(env)
+    i = base.actor_index[name]
+    pts = np.asarray(base.scene.actors.sup_pts[i])       # body frame
+    q = np.asarray(base.state.world.a_quat[0, i])
+    import jax.numpy as jnp
+    R = np.asarray(quat_to_matrix(jnp.asarray(q)))       # body -> world
+    ext = pts.max(axis=0) - pts.min(axis=0)              # body extents
+    best = None
+    for k in range(3):
+        d = R[:, k]
+        horiz = np.array([d[0], d[1], 0.0])
+        nh = float(np.linalg.norm(horiz))
+        if nh < 0.3:           # axis mostly vertical: cannot close along it
+            continue
+        if best is None or ext[k] < best[0]:
+            best = (float(ext[k]), horiz / nh)
+    closing = best[1] if best is not None else np.array([0.0, 1.0, 0.0])
+    return build_grasp_quat([0, 0, -1.0], closing)
 
 
 def _trace(env, planner, tag, obj_name):
@@ -71,7 +103,7 @@ def _move(planner, pos, quat, refine_steps: int = 0, speed: float = 0.5):
     return res
 
 
-def _grasp_attempt(env, planner, obj_name, grasp_z, hover):
+def _grasp_attempt(env, planner, obj_name, grasp_z, hover, gq):
     """Align at hover -> descend -> close -> short lift; returns the
     measured object z-rise (negative/zero = missed or knocked)."""
     obj = _actor_pos(env, obj_name)
@@ -81,14 +113,14 @@ def _grasp_attempt(env, planner, obj_name, grasp_z, hover):
     # can (7.4 cm) by only ~3 mm per side — an unsettled descend sweeps a
     # finger sideways through the can and tips it over (r3 failure mode:
     # Align can 2 knocked flat on every seed)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, hover], TOPDOWN_Q,
+    if planner.move_to_pose_with_screw(grasp + [0, 0, hover], gq,
                                        refine_steps=5, speed=0.3) == -1:
         return None
     _trace(env, planner, "settle-xy", obj_name)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.06], TOPDOWN_Q,
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.06], gq,
                                        refine_steps=2, speed=0.2) == -1:
         return None
-    if planner.move_to_pose_with_screw(grasp, TOPDOWN_Q,
+    if planner.move_to_pose_with_screw(grasp, gq,
                                        refine_steps=2, speed=0.12) == -1:
         return None
     _trace(env, planner, "descend", obj_name)
@@ -98,7 +130,7 @@ def _grasp_attempt(env, planner, obj_name, grasp_z, hover):
     # carry phases at <= 0.2 m/s: the friction cone of the light can
     # against the UMI pads slips beyond ~0.25 m/s; the first cm of the
     # lift is the most slip-prone (contact equilibrium re-forms)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.04], TOPDOWN_Q,
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.04], gq,
                                        speed=0.08, refine_steps=1) == -1:
         return None
     return _actor_pos(env, obj_name)[2] - z0
@@ -106,7 +138,7 @@ def _grasp_attempt(env, planner, obj_name, grasp_z, hover):
 
 def pick_and_place(env, planner, obj_name: str, place_pos,
                    grasp_z: float = 0.02, hover: float = 0.10,
-                   settle: int = 10):
+                   settle: int = 10, grasp_quat=None):
     """reach -> settle xy -> descend -> grasp (verified, one retry) ->
     lift -> transport -> release.
 
@@ -120,6 +152,8 @@ def pick_and_place(env, planner, obj_name: str, place_pos,
     from the object's post-knock position."""
     obj = _actor_pos(env, obj_name)
     grasp = obj + np.array([0, 0, grasp_z], np.float32)
+    gq = TOPDOWN_Q if grasp_quat is None else np.asarray(grasp_quat,
+                                                         np.float32)
     planner.open_gripper(steps=2)
     # two-stage reach: transit HORIZONTALLY at the current (post-release)
     # height, then descend vertically to hover.  A single diagonal screw
@@ -130,18 +164,21 @@ def pick_and_place(env, planner, obj_name: str, place_pos,
     tcp_now, _ = planner.tcp_pose()
     z_keep = max(float(tcp_now[2]), float(grasp[2] + hover))
     if _move(planner, np.array([grasp[0], grasp[1], z_keep], np.float32),
-             TOPDOWN_Q, speed=0.6) == -1:
+             gq, speed=0.6) == -1:
         return -1
-    if _move(planner, grasp + [0, 0, hover], TOPDOWN_Q, speed=0.6) == -1:
+    if _move(planner, grasp + [0, 0, hover], gq, speed=0.6) == -1:
         return -1
     _trace(env, planner, "reach", obj_name)
-    rise = _grasp_attempt(env, planner, obj_name, grasp_z, hover)
+    rise = _grasp_attempt(env, planner, obj_name, grasp_z, hover, gq)
     if rise is None:
         return -1
     if rise < 0.02:  # missed / knocked: retry once from the new position
         _trace(env, planner, "regrasp", obj_name)
         planner.open_gripper(steps=2)
-        rise = _grasp_attempt(env, planner, obj_name, grasp_z, hover)
+        if grasp_quat is not None:
+            # OBB-gripped objects may have rotated when knocked
+            gq = _grasp_quat_for(env, obj_name)
+        rise = _grasp_attempt(env, planner, obj_name, grasp_z, hover, gq)
         if rise is None:
             return -1
         if rise < 0.02:
@@ -151,7 +188,7 @@ def pick_and_place(env, planner, obj_name: str, place_pos,
     obj = _actor_pos(env, obj_name)
     grasp = obj + np.array([0, 0, grasp_z - 0.04], np.float32)
     if planner.move_to_pose_with_screw(grasp + [0, 0, hover + 0.05],
-                                       TOPDOWN_Q, speed=0.2) == -1:
+                                       gq, speed=0.2) == -1:
         return -1
     _trace(env, planner, "lift", obj_name)
     # object-relative place: move the TCP so the OBJECT reaches place_pos
@@ -161,17 +198,29 @@ def pick_and_place(env, planner, obj_name: str, place_pos,
     # transport with extra z clearance, then LOWER before releasing —
     # dropping from transport height bounces the object off its support
     high = np.asarray(place_pos, np.float32) + off + [0, 0, 0.05]
-    if _move(planner, high, TOPDOWN_Q, speed=0.2) == -1:
+    # up -> across -> down: a single diagonal carry clips objects already
+    # placed near the goal (measured on Align seed 1: the carried can
+    # passed 1 cm from can 1 standing on the rack at overlapping heights
+    # and knocked it off).  Rise so the carried object's BOTTOM clears a
+    # standing can top (~0.27), then transit horizontally.
+    z_safe = max(float(tcp_now[2]), float(high[2]) + 0.09)
+    if _move(planner, np.array([tcp_now[0], tcp_now[1], z_safe],
+                               np.float32), gq, speed=0.2) == -1:
+        return -1
+    if _move(planner, np.array([high[0], high[1], z_safe], np.float32),
+             gq, speed=0.2) == -1:
+        return -1
+    if _move(planner, high, gq, speed=0.15) == -1:
         return -1
     _trace(env, planner, "transport", obj_name)
     target_tcp = np.asarray(place_pos, np.float32) + off
-    if planner.move_to_pose_with_screw(target_tcp, TOPDOWN_Q,
+    if planner.move_to_pose_with_screw(target_tcp, gq,
                                        refine_steps=2, speed=0.15) == -1:
         return -1
     _trace(env, planner, "lower", obj_name)
     res = planner.open_gripper(steps=4)
     res = planner.move_to_pose_with_screw(target_tcp + [0, 0, 0.10],
-                                          TOPDOWN_Q, speed=0.5)
+                                          gq, speed=0.5)
     if settle:
         res = planner.hold(steps=settle)  # let static predicates latch
     _trace(env, planner, "settle", obj_name)
@@ -269,35 +318,64 @@ def solveAlignXArm(env, seed=None, debug=False, vis=False):
 
 
 def solveBananaRotationXArm(env, seed=None, debug=False, vis=False):
-    """grasp the banana, lift, yaw by -60 deg, set down, release
-    (xarm6/solutions analog of rotate_banana init's grasp/rotate poses)."""
+    """Grasp the banana across its short axis (OBB), lift, yaw by -60 deg
+    (the reference's rotate pose, xarm6/solutions/rotate_banana.py:74-83),
+    then TILT the banana about its long axis and stand it leaning on one
+    end in the open finger cage before releasing.
+
+    The lean is what satisfies the reference's is_at_table_height band
+    (|z - obj_height| in [0.02, 0.05], rotate_banana.py:183-186): a banana
+    resting flat has dz ~ 0, so success requires a rotated REST pose with
+    the center 2-5 cm above the flat rest — i.e. leaning at ~30-40 deg
+    from horizontal (the reference's drop-from-lift lands its curved mesh
+    the same way)."""
     import jax.numpy as jnp
 
     from gsworld_tpu.core.maths import axis_angle_to_quat, quat_multiply
     env.reset(seed=seed)
     planner = XArmMotionPlanningSolver(env, debug=debug, vis=vis)
     obj = _actor_pos(env, "011_banana")
+    gq = _grasp_quat_for(env, "011_banana")
     grasp = obj + np.array([0, 0, 0.005], np.float32)
     planner.open_gripper(steps=3)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.12], TOPDOWN_Q) == -1:
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.12], gq) == -1:
         return -1
-    if planner.move_to_pose_with_screw(grasp, TOPDOWN_Q, refine_steps=2,
+    if planner.move_to_pose_with_screw(grasp, gq, refine_steps=2,
                                        speed=0.15) == -1:
         return -1
     planner.close_gripper(steps=8)
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.1], TOPDOWN_Q,
-                                       speed=0.2) == -1:
+    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.1], gq,
+                                       speed=0.15) == -1:
         return -1
+    # reference rotate pose: yaw -60 deg at lift height
     rot_q = np.asarray(quat_multiply(
         axis_angle_to_quat(jnp.asarray([0.0, 0.0, -np.pi / 3])),
-        jnp.asarray(TOPDOWN_Q)), np.float32)
+        jnp.asarray(gq)), np.float32)
     if planner.move_to_pose_with_screw(grasp + [0, 0, 0.1], rot_q,
                                        speed=0.2) == -1:
         return -1
-    if planner.move_to_pose_with_screw(grasp + [0, 0, 0.03], rot_q,
-                                       speed=0.15) == -1:
+    # tilt ~35 deg about the (rotated) closing axis: the banana's long
+    # axis pitches from horizontal so one end points down
+    tcp_p, tcp_q = planner.tcp_pose()
+    closing_w = np.asarray(quat_to_matrix(jnp.asarray(tcp_q)))[:, 1]
+    tilt = np.asarray(quat_multiply(
+        axis_angle_to_quat(jnp.asarray(closing_w * (35.0 * np.pi / 180))),
+        jnp.asarray(tcp_q)), np.float32)
+    if planner.move_to_pose_with_screw(tcp_p, tilt, speed=0.15) == -1:
         return -1
-    res = planner.open_gripper(steps=6)
+    # lower until the low end touches and the center sits in the height
+    # band (~0.055 for the 0.095 half-length box at 35 deg)
+    tcp_p, _ = planner.tcp_pose()
+    obj_now = _actor_pos(env, "011_banana")
+    off_z = float(tcp_p[2] - obj_now[2])
+    target = np.array([tcp_p[0], tcp_p[1], 0.055 + off_z], np.float32)
+    if planner.move_to_pose_with_screw(target, tilt, speed=0.1,
+                                       refine_steps=2) == -1:
+        return -1
+    # release the squeeze into a loose cage (banana leans on the lower
+    # pad), then fully open and hold still
+    planner.set_gripper(0.5 * (planner.CLOSED + planner.OPEN), steps=4)
+    res = planner.open_gripper(steps=4)
     res = planner.hold(steps=12)
     planner.close()
     return res
@@ -311,11 +389,14 @@ def solveSpoonOnBoardXArm(env, seed=None, debug=False, vis=False):
         SPOON_NAME,
     )
     goal = _actor_pos(env, BOARD_NAME)
-    # spoon (half z 0.012) onto the board top (board center + 0.006)
+    # spoon (half z 0.012) onto the board top (board center + 0.006);
+    # OBB grasp quat: the spoon's long axis lies along world y after its
+    # rotz(90) init — fingers must straddle the short (2.2 cm) width
     res = pick_and_place(env, planner, SPOON_NAME,
                          goal + np.array([0, 0, 0.006 + 0.012 + 0.015],
                                          np.float32),
-                         grasp_z=0.015, hover=0.12)
+                         grasp_z=0.015, hover=0.12,
+                         grasp_quat=_grasp_quat_for(env, SPOON_NAME))
     planner.close()
     return res
 

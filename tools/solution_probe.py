@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Run one scripted Align solve and print the evaluate() components after
+"""Run one scripted solve (any SOLUTIONS env) and print the evaluate() components after
 every phase plus at the end — pinpoints which predicate blocks success.
 
-    python tools/debug_align.py [--seed 0] [--env AlignFr3Env-v1]
+    python tools/solution_probe.py [--seed 0] [--env AlignFr3Env-v1]
 """
 
 import argparse
