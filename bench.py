@@ -44,26 +44,53 @@ def main():
     # (gsworld_rand_action_tabletop.py:175); BENCH_OBS_MODE=rgb for the
     # rgb-only secondary row
     obs_mode = os.environ.get("BENCH_OBS_MODE", "rgb+segmentation")
-    env, wrapper = build(
-        "AlignFr3Env-v1", num_envs=num_envs, cfg_name="fr3_align",
-        sim_freq=120, control_freq=40, width=width, height=height,
-        max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", "1024")),
-        tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", "16")),
-        # D=64 + E=2^19: zero dropped entries on the bench scene, 35.5 dB
-        # vs a truly-uncapped reference (tools/sweep_compositor.py r3)
-        max_tiles_per_gaussian=int(os.environ.get("BENCH_MAX_TILES", "64")),
-        active_budget_frac=float(os.environ.get("BENCH_BUDGET", "1.0")),
-        tile=int(os.environ.get("BENCH_TILE", "32")),
-        max_entries=1 << int(os.environ.get("BENCH_LOG2_ENTRIES", "19")),
-        synthetic_scale=synthetic_scale, obs_mode=obs_mode,
-        # lax.map over frames beats the single batched grid on v5e (41.9
-        # vs 37.2 steps/s @4 envs: XLA pipelines successive per-frame
-        # programs, the one-grid path serializes at stage barriers)
-        batch_frames=os.environ.get("BENCH_BATCH_FRAMES", "0") == "1")
     shard = (os.environ.get("BENCH_SHARD", "0") == "1"
              and len(jax.devices()) > 1)
-    fps, spf, _ = rollout_fps(wrapper, ep_len, seed=0, use_scan=True,
-                              shard=shard)
+
+    def measure(n_envs, length):
+        env, wrapper = build(
+            "AlignFr3Env-v1", num_envs=n_envs, cfg_name="fr3_align",
+            sim_freq=120, control_freq=40, width=width, height=height,
+            max_per_tile=int(os.environ.get("BENCH_MAX_PER_TILE", "1024")),
+            tile_chunk=int(os.environ.get("BENCH_TILE_CHUNK", "16")),
+            # D=64 + E=393216: zero dropped entries on the bench scene
+            # (297,909 live pre-cull), 35.5 dB vs a truly-uncapped
+            # reference (tools/sweep_compositor.py r3)
+            max_tiles_per_gaussian=int(
+                os.environ.get("BENCH_MAX_TILES", "64")),
+            active_budget_frac=float(os.environ.get("BENCH_BUDGET", "1.0")),
+            tile=int(os.environ.get("BENCH_TILE", "32")),
+            max_entries=int(os.environ.get("BENCH_ENTRIES", "393216")),
+            synthetic_scale=synthetic_scale, obs_mode=obs_mode,
+            # lax.map over frames beats the single batched grid on v5e
+            # (41.9 vs 37.2 steps/s @4 envs: XLA pipelines successive
+            # per-frame programs, the one-grid path serializes at stage
+            # barriers)
+            batch_frames=os.environ.get("BENCH_BATCH_FRAMES", "0") == "1")
+        fps, _, _ = rollout_fps(wrapper, length, seed=0, use_scan=True,
+                                shard=shard)
+        return fps
+
+    # secondary rows first (BASELINE.json asks for 1-env and >=64-env
+    # configs); the driver parses the LAST line as the headline metric
+    if os.environ.get("BENCH_EXTRA_ROWS", "1") == "1" and preset != "smoke":
+        for n_extra, len_extra in ((1, ep_len), (64, 3)):
+            try:
+                fps_x = measure(n_extra, len_extra)
+                print(json.dumps({
+                    "metric": f"closed-loop env steps/s, 640x480 GS "
+                              f"{obs_mode} render, {n_extra} envs "
+                              f"(AlignFr3Env-v1 random actions)",
+                    "value": round(fps_x, 2),
+                    "unit": "env-steps/s",
+                    "vs_baseline": round(fps_x / REFERENCE_SINGLE_ENV_FPS,
+                                         2),
+                }), flush=True)
+            except Exception as e:  # never lose the headline row
+                print(f"# extra bench row ({n_extra} envs) failed: {e}",
+                      flush=True)
+
+    fps = measure(num_envs, ep_len)
     print(json.dumps({
         "metric": f"closed-loop env steps/s, 640x480 GS {obs_mode} render, "
                   f"{num_envs} envs (AlignFr3Env-v1 random actions)",

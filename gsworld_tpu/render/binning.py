@@ -192,7 +192,8 @@ def bin_entries(proj: Projected, cfg: RasterConfig) -> EntryBins:
 
 
 def bin_entries_fused(proj: Projected, cfg: RasterConfig,
-                      record_cols, _stop_after: int = 0) -> EntryBins:
+                      record_cols, _stop_after: int = 0,
+                      carry_gid: bool = True) -> EntryBins:
     """Segment-packed binning that carries per-entry record columns
     through to the compositor with NO permutation scatters.
 
@@ -270,41 +271,92 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     # the entry sort at E=2^19).
     rect = proj.rect
     w = rect[..., 2] - rect[..., 0]
-    gids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (F, n))
     rf = proj.radius.astype(jnp.float32)
     valid = (proj.radius > 0) & jnp.isfinite(proj.depth)
     mode = getattr(cfg, "budget_rank", "depth")
     depth_mode = mode == "depth"
-    if mode == "importance":
-        key_val = -proj.opacity * rf * rf
-    elif mode == "opacity":
-        key_val = -proj.opacity
-    else:                       # "depth": farthest-first truncation
-        key_val = proj.depth
-    rank_key = jnp.where(valid, key_val, jnp.inf)
-    cols = [rect[..., 0], rect[..., 1], jnp.maximum(w, 1),
-            w * (rect[..., 3] - rect[..., 1]),            # area (-> cnt/offs)
-            gids]
-    if not depth_mode:          # depth rides as payload (key is not depth)
-        cols.append(jnp.where(valid, proj.depth, 2.0 ** 30))
-    cols += list(record_cols)
-    cols = [jnp.broadcast_to(c, (F, n)).astype(jnp.float32).reshape(F * n)
-            for c in cols]
-    fid_n = (jnp.arange(F * n, dtype=jnp.int32) // n).astype(jnp.int32)
-    sorted_ops = jax.lax.sort(
-        (fid_n, rank_key.astype(jnp.float32).reshape(F * n)) + tuple(cols),
-        num_keys=2, is_stable=False)
-    if _stop_after == 1:        # profiling prefix: rank sort only
-        return sorted_ops
-    # frame f's rows are exactly [f*n, (f+1)*n): reshape back to (F, n)
-    x0_r, y0_r, w_r, area_f, gid_r = (
-        s.reshape(F, n) for s in sorted_ops[2:7])
-    if depth_mode:
-        depth_r = sorted_ops[1].reshape(F, n)
-        recs_r = tuple(s.reshape(F, n) for s in sorted_ops[7:])
+    # slim rank sort (the default depth mode): ONE int32 key + ONE packed
+    # int32 rect column instead of 2 keys + 5 payload columns — the rank
+    # sort is pass-bandwidth-bound, so operand count is its cost (measured
+    # 2.0 ms/frame at 15 operands, F=8, n=222k on v5e).
+    #   key  = fid << d_bits | top d_bits of the positive-f32 depth
+    #          pattern (bit order = value order for positive floats; ties
+    #          within ~2^-(d_bits-8) relative depth break arbitrarily —
+    #          far below visible compositing-order sensitivity; invalid
+    #          rows pin to the frame maximum so they sink WITHIN their
+    #          frame span)
+    #   rect = x0 | y0<<6 | w<<12 | min(area, 4095)<<19   (int32 payload —
+    #          int payloads ride lax.sort exactly; f32 packing caps at 2^24)
+    slim = (depth_mode and gx <= 64 and cfg.tiles_y <= 64 and F <= 256
+            and D <= 4095)
+    area_full = w * (rect[..., 3] - rect[..., 1])
+    if slim:
+        db = jax.lax.bitcast_convert_type(
+            jnp.broadcast_to(proj.depth, (F, n)).astype(jnp.float32),
+            jnp.int32)
+        # use every key bit the frame count leaves free: fewer depth ties
+        # (ties break arbitrarily under the unstable sort)
+        fid_bits = (F - 1).bit_length()
+        d_bits = 31 - fid_bits
+        dq = jnp.where(valid, db >> (31 - d_bits), (1 << d_bits) - 1)
+        fid_n = (jnp.arange(F * n, dtype=jnp.int32) // n).astype(jnp.int32)
+        key_n = (fid_n << d_bits) | dq.reshape(F * n)
+        rpack = (rect[..., 0] | (rect[..., 1] << 6)
+                 | (jnp.maximum(w, 1) << 12)
+                 | (jnp.minimum(area_full, 4095) << 19))
+        ops_in = [key_n, jnp.broadcast_to(rpack, (F, n)).reshape(F * n)]
+        if carry_gid:
+            ops_in.append(jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32), (F, n)).reshape(F * n))
+        ops_in += [jnp.broadcast_to(c, (F, n)).astype(jnp.float32)
+                   .reshape(F * n) for c in record_cols]
+        sorted_ops = jax.lax.sort(tuple(ops_in), num_keys=1,
+                                  is_stable=False)
+        if _stop_after == 1:    # profiling prefix: rank sort only
+            return sorted_ops
+        rp = sorted_ops[1].reshape(F, n)
+        x0_r = (rp & 63).astype(jnp.float32)
+        y0_r = ((rp >> 6) & 63).astype(jnp.float32)
+        w_r = ((rp >> 12) & 127).astype(jnp.float32)
+        area_f = (rp >> 19).astype(jnp.float32)
+        ir = 2
+        if carry_gid:
+            gid_r = sorted_ops[2].reshape(F, n).astype(jnp.float32)
+            ir = 3
+        recs_r = tuple(s.reshape(F, n) for s in sorted_ops[ir:])
+        depth_r = None
     else:
-        depth_r = sorted_ops[7].reshape(F, n)
-        recs_r = tuple(s.reshape(F, n) for s in sorted_ops[8:])
+        gids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (F, n))
+        if mode == "importance":
+            key_val = -proj.opacity * rf * rf
+        elif mode == "opacity":
+            key_val = -proj.opacity
+        else:                   # "depth": farthest-first truncation
+            key_val = proj.depth
+        rank_key = jnp.where(valid, key_val, jnp.inf)
+        cols = [rect[..., 0], rect[..., 1], jnp.maximum(w, 1),
+                area_full,                                # area (-> cnt/offs)
+                gids]
+        if not depth_mode:      # depth rides as payload (key is not depth)
+            cols.append(jnp.where(valid, proj.depth, 2.0 ** 30))
+        cols += list(record_cols)
+        cols = [jnp.broadcast_to(c, (F, n)).astype(jnp.float32).reshape(F * n)
+                for c in cols]
+        fid_n = (jnp.arange(F * n, dtype=jnp.int32) // n).astype(jnp.int32)
+        sorted_ops = jax.lax.sort(
+            (fid_n, rank_key.astype(jnp.float32).reshape(F * n))
+            + tuple(cols), num_keys=2, is_stable=False)
+        if _stop_after == 1:    # profiling prefix: rank sort only
+            return sorted_ops
+        # frame f's rows are exactly [f*n, (f+1)*n): reshape back to (F, n)
+        x0_r, y0_r, w_r, area_f, gid_r = (
+            s.reshape(F, n) for s in sorted_ops[2:7])
+        if depth_mode:
+            depth_r = sorted_ops[1].reshape(F, n)
+            recs_r = tuple(s.reshape(F, n) for s in sorted_ops[7:])
+        else:
+            depth_r = sorted_ops[7].reshape(F, n)
+            recs_r = tuple(s.reshape(F, n) for s in sorted_ops[8:])
 
     area_r = area_f.astype(jnp.int32)
     cnt = jnp.clip(area_r, 0, D)
@@ -337,13 +389,23 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     rank_span = 1
     while rank_span < npad:
         rank_span *= 2
-    single_key = depth_mode and F * (T + 1) * rank_span < 2 ** 31
-    depth_f = jnp.where(jnp.isfinite(depth_r), depth_r, BIG)
+    # within-tile order = rank whenever ranks are depth order; the entry
+    # sort then runs on a combined int32 (tile, rank) key when it fits,
+    # or (tile_key, rank) two-key otherwise (large F)
+    rank_mode = depth_mode
+    single_key = rank_mode and F * (T + 1) * rank_span < 2 ** 31
+    with_gid = carry_gid or not slim
     recs_f = [jnp.where(jnp.isfinite(r), r, 0.0) for r in recs_r]
-    meta_rows = [x0_r, y0_r, w_r, offs, cnt_b.astype(jnp.float32),
-                 gid_r] + ([] if single_key else [depth_f]) + recs_f
-    pad_vals = ([0.0, 0.0, 0.0, BIG, 0.0, 0.0]
-                + ([] if single_key else [0.0]) + [0.0] * len(recs_r))
+    meta_rows = [x0_r, y0_r, w_r, offs, cnt_b.astype(jnp.float32)]
+    pad_vals = [0.0, 0.0, 0.0, BIG, 0.0]
+    if with_gid:
+        meta_rows.append(gid_r)
+        pad_vals.append(0.0)
+    if not rank_mode:
+        meta_rows.append(jnp.where(jnp.isfinite(depth_r), depth_r, BIG))
+        pad_vals.append(0.0)
+    meta_rows += recs_f
+    pad_vals += [0.0] * len(recs_r)
     # the emit kernel DMAs (R, 128) row windows: R must be sublane-aligned
     while len(meta_rows) % 8:
         meta_rows.append(jnp.zeros_like(meta_rows[0]))
@@ -370,8 +432,10 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     if _stop_after == 2:        # profiling prefix: + budget/meta/r0
         return meta, r0
     from gsworld_tpu.render.rasterize_pallas import emit_entries
-    ops = emit_entries(meta, r0, E, gx, T, rank_mode=single_key,
-                       n_rec=len(record_cols))     # (F, NB, 3+n_rec, 128)
+    ops = emit_entries(meta, r0, E, gx, T, rank_mode=rank_mode,
+                       n_rec=len(record_cols), with_gid=with_gid,
+                       cull_alpha=getattr(cfg, "cull_alpha", True),
+                       tile_px=cfg.tile)  # (F, NB, 2+gid+n_rec, 128)
     if _stop_after == 3:        # profiling prefix: + emit kernel
         return ops
 
@@ -383,30 +447,37 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     fid_e = (jnp.arange(F * E, dtype=jnp.int32) // E).astype(jnp.int32)
     tile_e = (ops[:, :, 0, :].reshape(F * E).astype(jnp.int32)
               + fid_e * (T + 1))
-    gid = ops[:, :, 2, :].reshape(F * E)
+    grow = 2 if with_gid else 1          # output row of gid / first record
+    gid_ops = (ops[:, :, 2, :].reshape(F * E),) if with_gid else ()
     recs_e = tuple(
-        ops[:, :, 3 + j, :].reshape(F * E) for j in range(n_rec))
+        ops[:, :, grow + 1 + j, :].reshape(F * E) for j in range(n_rec))
     if single_key:
         # combined int32 (tile, rank) key — exact (rank/tile are small
         # exact floats in the kernel output; combined here as ints)
         rank_e = ops[:, :, 1, :].reshape(F * E).astype(jnp.int32)
         key_e = tile_e * rank_span + rank_e
-        out = jax.lax.sort((key_e, gid) + recs_e, num_keys=1,
+        out = jax.lax.sort((key_e,) + gid_ops + recs_e, num_keys=1,
                            is_stable=False)
         if _stop_after == 4:    # profiling prefix: + entry sort
             return out
-        key_s, gid_s = out[0], out[1]
-        payload = tuple(o.reshape(F, E) for o in out[2:])
+        key_s = out[0]
+        gid_s = out[1] if with_gid else None
+        payload = tuple(o.reshape(F, E) for o in out[1 + len(gid_ops):])
         starts_all = _two_level_searchsorted(
             key_s, jnp.arange(F * (T + 1), dtype=jnp.int32) * rank_span)
     else:
-        depth_e = ops[:, :, 1, :].reshape(F * E)
-        out = jax.lax.sort((tile_e, depth_e, gid) + recs_e, num_keys=2,
-                           is_stable=False)
+        # second key: rank (int32, exact) when ranks encode depth order,
+        # raw f32 view depth otherwise
+        order_e = ops[:, :, 1, :].reshape(F * E)
+        if rank_mode:
+            order_e = order_e.astype(jnp.int32)
+        out = jax.lax.sort((tile_e, order_e) + gid_ops + recs_e,
+                           num_keys=2, is_stable=False)
         if _stop_after == 4:    # profiling prefix: + entry sort
             return out
-        key_s, gid_s = out[0], out[2]
-        payload = tuple(o.reshape(F, E) for o in out[3:])
+        key_s = out[0]
+        gid_s = out[2] if with_gid else None
+        payload = tuple(o.reshape(F, E) for o in out[2 + len(gid_ops):])
         starts_all = _two_level_searchsorted(
             key_s, jnp.arange(F * (T + 1), dtype=jnp.int32))
     starts = (starts_all.reshape(F, T + 1)
@@ -416,7 +487,8 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
     overflow = (jnp.sum(jnp.maximum(area_r, 0)
                         - jnp.minimum(jnp.maximum(area_r, 0), D), axis=-1)
                 + jnp.sum(cnt - cnt_b, axis=-1))
-    bins = EntryBins(gaussian=gid_s.reshape(F, E).astype(jnp.int32),
+    bins = EntryBins(gaussian=(gid_s.reshape(F, E).astype(jnp.int32)
+                               if gid_s is not None else None),
                      starts=starts, overflow=overflow,
                      payload=payload)
     if squeeze:

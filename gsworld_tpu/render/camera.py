@@ -73,6 +73,11 @@ class RasterConfig:
     # "depth" (farthest-first; occlusion-correct and best measured at low
     # drop rates), "opacity", "importance" (opacity*radius^2)
     budget_rank: str = "depth"
+    # exact per-tile alpha culling in the emit kernel: entries whose max
+    # alpha over their tile is below the compositor's 1/255 skip are
+    # never emitted — lossless (every pixel would skip them) and it
+    # shrinks the per-tile segments the compositor walks
+    cull_alpha: bool = True
 
     @property
     def tiles_x(self) -> int:

@@ -379,10 +379,14 @@ def render(g: PosedGaussians, cam: GSCamera, cfg: RasterConfig,
         # binning (indices + the detached record payload) is integer
         # plumbing outside the differentiable path; gradients flow through
         # the custom-VJP floats below, exactly like the CUDA sort stage
+        # gid rides the binning only when the differentiable path needs it
+        # (composite_bwd_pallas repack); the segmentation/closed-loop path
+        # drops it — one less entry-sort operand
         ebins = bin_entries_fused(
             proj, cfg,
             jax.tree.map(jax.lax.stop_gradient,
-                         pack_record_columns(proj, semantics)))
+                         pack_record_columns(proj, semantics)),
+            carry_gid=semantics is None)
         if semantics is not None:
             img, _, seg = composite_tiles_pallas(proj, ebins, cfg,
                                                  semantics=semantics)

@@ -117,22 +117,34 @@ def _prep_entry_records(proj: Projected, bins: EntryBins, semantics):
 def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
                  n_meta: int, n_out: int, gx: int, t_sentinel: int,
                  rank_mode: bool, K: int, NS: int, NB: int, WB: int,
-                 nblk: int):
+                 nblk: int, with_gid: bool, cull_alpha: bool,
+                 tile_px: int):
     """Expand the rank-ordered per-gaussian meta table to per-entry sort
-    operands (tile key, depth, gid, record columns) — the TPU analog of
-    the CUDA duplication loop, K 128-entry chunks per grid step.
+    operands (tile key, depth|rank, [gid,] record columns) — the TPU
+    analog of the CUDA duplication loop, K 128-entry chunks per grid step.
 
     Meta rows (see bin_entries_fused): 0 x0, 1 y0, 2 w, 3 offs, 4 cnt,
-    5 gid, then records (rank_mode=True: the second output row is the
-    entry's RANK — within-tile order comes from rank itself) or 6 depth,
-    7.. records (rank_mode=False).  The table is in RANK order with
-    emitting gaussians a contiguous prefix (culled ones carry depth=inf
-    and sink in the argsort), so per-entry ranks advance <=1 per entry:
-    one WB = K+1 block window starting at the step's first chunk rank
-    covers every rank the step's K chunks touch.  The rank of entry e is
-    recovered IN-KERNEL as b0j*128 + count(offs_subwindow <= e) - 1
-    (offs is nondecreasing; pre-window ranks all satisfy offs <= e), so
-    no per-entry rank array is ever materialized in HBM.
+    then gid (when ``with_gid``), then depth (when ``rank_mode`` is
+    False; with rank_mode=True the second output row is the entry's RANK
+    — within-tile order comes from rank itself), then the record columns
+    (pack_record_columns order: mx, my, A, B, C, opacity, rg, bsem).
+    The table is in RANK order with emitting gaussians a contiguous
+    prefix (culled ones carry depth=inf and sink in the argsort), so
+    per-entry ranks advance <=1 per entry: one WB = K+1 block window
+    starting at the step's first chunk rank covers every rank the step's
+    K chunks touch.  The rank of entry e is recovered IN-KERNEL as
+    b0j*128 + count(offs_subwindow <= e) - 1 (offs is nondecreasing;
+    pre-window ranks all satisfy offs <= e), so no per-entry rank array
+    is ever materialized in HBM.
+
+    ``cull_alpha``: exact per-tile alpha culling — an entry whose maximum
+    alpha over its tile's pixel rect is below the compositor's 1/255
+    skip threshold is emitted as the sentinel tile (the quadratic is
+    unimodal, so the max over the tile is at the rect-clamped mean; every
+    pixel of such an entry would hit the CUDA kernel's alpha<1/255 skip,
+    reference behavior preserved exactly).  Measured on the bench scene
+    this drops ~35% of live entries, shrinking every tile segment the
+    compositor walks.
 
     Round-4 redesign (r3 ran one chunk per grid step = 4096 sequential
     steps x ~0.6 us of DMA-wait latency = 2.6 ms/frame): K chunks share
@@ -198,6 +210,44 @@ def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
         dx = d - dy * w
         tile = (y0 + dy) * gx + x0 + dx
         live = e_idx < offs + cnt
+        rec0 = 5 + (1 if with_gid else 0) + (0 if rank_mode else 1)
+        if cull_alpha:
+            # exact tile-alpha cull: the max of the (concave) splat
+            # quadratic over the tile's pixel box.  NOT the rect-clamped
+            # mean — with an anisotropic conic (B != 0) the box max sits
+            # elsewhere on the boundary, so the clamp test wrongly culls
+            # contributors.  Mean inside the box -> max 0; otherwise the
+            # max is on one of the 4 edges, where the 1-D optimum along
+            # the edge is a clamped stationary point.
+            rmx, rmy = cols[rec0:rec0 + 1, :], cols[rec0 + 1:rec0 + 2, :]
+            rA = cols[rec0 + 2:rec0 + 3, :]
+            rB = cols[rec0 + 3:rec0 + 4, :]
+            rC = cols[rec0 + 4:rec0 + 5, :]
+            ropac = cols[rec0 + 5:rec0 + 6, :]
+            tpx = (x0 + dx) * float(tile_px)
+            tpy = (y0 + dy) * float(tile_px)
+            dx0 = tpx - rmx                       # box bounds minus mean
+            dx1 = tpx + float(tile_px - 1) - rmx
+            dy0 = tpy - rmy
+            dy1 = tpy + float(tile_px - 1) - rmy
+            A_s = jnp.maximum(rA, 1e-12)
+            C_s = jnp.maximum(rC, 1e-12)
+
+            def q(ddx, ddy):
+                return (-0.5 * (rA * ddx * ddx + rC * ddy * ddy)
+                        - rB * ddx * ddy)
+
+            ex0 = q(dx0, jnp.clip(-rB * dx0 / C_s, dy0, dy1))
+            ex1 = q(dx1, jnp.clip(-rB * dx1 / C_s, dy0, dy1))
+            ey0 = q(jnp.clip(-rB * dy0 / A_s, dx0, dx1), dy0)
+            ey1 = q(jnp.clip(-rB * dy1 / A_s, dx0, dx1), dy1)
+            pw = jnp.maximum(jnp.maximum(ex0, ex1),
+                             jnp.maximum(ey0, ey1))
+            inside = (dx0 <= 0.0) & (dx1 >= 0.0) & (dy0 <= 0.0) & (dy1 >= 0.0)
+            pw = jnp.where(inside, 0.0, pw)
+            keep = (pw + jnp.log(jnp.maximum(ropac, 1e-12))
+                    >= jnp.log(ALPHA_MIN))
+            live = live & keep
         tile_key = jnp.where(live, tile, float(t_sentinel))
         if rank_mode:
             # second row = entry's rank (exact small float; combined with
@@ -207,23 +257,28 @@ def _emit_kernel(r0_ref, meta_hbm, out_ref, win, sem, *,
             # whenever the boff/b0 clamps bind (ADVICE r4).
             order_key = ((b0 + boff).astype(jnp.float32)
                          * jnp.float32(CHUNK) + cnt_le - 1.0)
-            rec0 = 6
         else:
-            order_key = jnp.where(live, cols[6:7, :], jnp.inf)
-            rec0 = 7
-        out_ref[0, j] = jnp.concatenate(
-            [tile_key, order_key, cols[5:6, :],
-             cols[rec0:rec0 + n_out - 3, :]], axis=0)
+            order_key = jnp.where(live, cols[rec0 - 1:rec0, :], jnp.inf)
+        rows = [tile_key, order_key]
+        if with_gid:
+            rows.append(cols[5:6, :])
+        n_rec_out = n_out - 2 - (1 if with_gid else 0)
+        rows.append(cols[rec0:rec0 + n_rec_out, :])
+        out_ref[0, j] = jnp.concatenate(rows, axis=0)
 
 
 def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
                  interpret=None, rank_mode: bool = False,
-                 n_rec=None, chunks_per_step: int = 8):
+                 n_rec=None, chunks_per_step: int = 8,
+                 with_gid: bool = True, cull_alpha: bool = False,
+                 tile_px: int = 32):
     """meta (F, R, Npad) f32 rank-ordered tables (R padded to a multiple
     of 8 — the in-kernel row-window DMA requires sublane alignment), r0
     (F, E/128) int32 start rank per 128-entry chunk -> (F, E/128, n_out,
-    128) per-entry sort operands [tile_key, depth_key | rank, gid,
-    records...].  A leading frame axis of 1 is fine (single frame)."""
+    128) per-entry sort operands [tile_key, depth_key | rank, (gid,)
+    records...].  A leading frame axis of 1 is fine (single frame).
+    ``cull_alpha`` requires the first 6 record columns to follow the
+    pack_record_columns layout (mx, my, A, B, C, opacity)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     F, R, npad = meta.shape
@@ -234,9 +289,12 @@ def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
         K //= 2
     WB = min(K + 1, nblk)
     NS = NB // K
+    n_fixed = 5 + (1 if with_gid else 0) + (0 if rank_mode else 1)
     if n_rec is None:
-        n_rec = (R - 6) if rank_mode else (R - 7)
-    n_out = 3 + n_rec
+        n_rec = R - n_fixed
+    assert not cull_alpha or n_rec >= 6, \
+        "cull_alpha needs the mx,my,A,B,C,opacity record columns"
+    n_out = 2 + (1 if with_gid else 0) + n_rec
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(F * NS,),
@@ -252,7 +310,9 @@ def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
     out = pl.pallas_call(
         functools.partial(_emit_kernel, n_meta=R, n_out=n_out, gx=gx,
                           t_sentinel=t_sentinel, rank_mode=rank_mode,
-                          K=K, NS=NS, NB=NB, WB=WB, nblk=nblk),
+                          K=K, NS=NS, NB=NB, WB=WB, nblk=nblk,
+                          with_gid=with_gid, cull_alpha=cull_alpha,
+                          tile_px=tile_px),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, NB, n_out, CHUNK), jnp.float32),
         interpret=interpret,

@@ -249,9 +249,11 @@ class GSWorldWrapper:
                 pack_record_columns,
             )
             # natively frame-batched (emit kernel folds frames into its
-            # grid — pallas_call is not vmappable on TPU)
+            # grid — pallas_call is not vmappable on TPU); the closed loop
+            # never differentiates, so gid stays out of the entry sort
             bins = bin_entries_fused(proj, cfg,
-                                     pack_record_columns(proj, sem))
+                                     pack_record_columns(proj, sem),
+                                     carry_gid=False)
             outs = composite_tiles_pallas(proj, bins, cfg, semantics=sem)
             imgs = jnp.clip(outs[0] * 255.0, 0, 255).astype(jnp.uint8)
             imgs = imgs.reshape(B, C, cams[0].height, cams[0].width, 3)
