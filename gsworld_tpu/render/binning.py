@@ -449,8 +449,49 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
               + fid_e * (T + 1))
     grow = 2 if with_gid else 1          # output row of gid / first record
     gid_ops = (ops[:, :, 2, :].reshape(F * E),) if with_gid else ()
-    recs_e = tuple(
-        ops[:, :, grow + 1 + j, :].reshape(F * E) for j in range(n_rec))
+    packed = (getattr(cfg, "pack_records", False) and not with_gid
+              and n_rec == 8)
+    if packed:
+        # pack the 8 record rows into 5 int32 operands before the entry
+        # sort (the sort is pass-bandwidth-bound: operand count IS its
+        # cost).  All-int operands also sidestep the TPU sort network's
+        # NaN canonicalization of bitcast float patterns.
+        #   0: mean, tile-relative at 1/64 px (16+16)
+        #   1: conic A | B as bf16 bit patterns (16+16)
+        #   2: conic C bf16 | 14-bit opacity
+        #   3: 10-bit r | g | b
+        #   4: semantic id + 1 (0 = none)
+        rr = [ops[:, :, grow + 1 + j, :] for j in range(8)]
+        mx, my, A, B, C, opac, rg, bsem = rr
+        tf = ops[:, :, 0, :]                       # f32 tile ids
+        tyf = jnp.floor(tf / gx)
+        txf = tf - tyf * gx
+        half = cfg.tile // 2
+        ox = txf * cfg.tile + half                 # kernel's centered origin
+        oy = tyf * cfg.tile + half
+
+        def q16(m, o):
+            return jnp.clip(jnp.round((m - o + 512.0) * 64.0),
+                            0, 65535).astype(jnp.int32)
+
+        def bfp(x):
+            return jax.lax.bitcast_convert_type(
+                x.astype(jnp.bfloat16), jnp.uint16).astype(jnp.int32)
+
+        semf = jnp.floor(bsem * (1.0 / 1024.0))
+        cols = (
+            q16(mx, ox) | (q16(my, oy) << 16),
+            (bfp(A) << 16) | bfp(B),
+            (bfp(C) << 16) | jnp.clip(jnp.round(opac * 16383.0),
+                                      0, 16383).astype(jnp.int32),
+            (rg.astype(jnp.int32)
+             | ((bsem - semf * 1024.0).astype(jnp.int32) << 20)),
+            semf.astype(jnp.int32),
+        )
+        recs_e = tuple(c.reshape(F * E) for c in cols)
+    else:
+        recs_e = tuple(
+            ops[:, :, grow + 1 + j, :].reshape(F * E) for j in range(n_rec))
     if single_key:
         # combined int32 (tile, rank) key — exact (rank/tile are small
         # exact floats in the kernel output; combined here as ints)
@@ -463,6 +504,12 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
         key_s = out[0]
         gid_s = out[1] if with_gid else None
         payload = tuple(o.reshape(F, E) for o in out[1 + len(gid_ops):])
+        if packed:
+            # pattern-preserving f32 view so the payload concatenates with
+            # one dtype; the compositor kernel bitcasts back (safe: no
+            # canonicalizing op — sort/matmul — touches it downstream)
+            payload = tuple(jax.lax.bitcast_convert_type(o, jnp.float32)
+                            for o in payload)
         starts_all = _two_level_searchsorted(
             key_s, jnp.arange(F * (T + 1), dtype=jnp.int32) * rank_span)
     else:
@@ -478,6 +525,9 @@ def bin_entries_fused(proj: Projected, cfg: RasterConfig,
         key_s = out[0]
         gid_s = out[2] if with_gid else None
         payload = tuple(o.reshape(F, E) for o in out[2 + len(gid_ops):])
+        if packed:
+            payload = tuple(jax.lax.bitcast_convert_type(o, jnp.float32)
+                            for o in payload)
         starts_all = _two_level_searchsorted(
             key_s, jnp.arange(F * (T + 1), dtype=jnp.int32))
     starts = (starts_all.reshape(F, T + 1)

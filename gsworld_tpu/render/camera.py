@@ -78,6 +78,13 @@ class RasterConfig:
     # never emitted — lossless (every pixel would skip them) and it
     # shrinks the per-tile segments the compositor walks
     cull_alpha: bool = True
+    # pack the 8 per-entry record columns into 5 int32 sort operands
+    # (tile-relative 1/64-px means, bf16 conic, 14-bit opacity, 10-bit
+    # rgb, semantic id) — the entry sort is pass-bandwidth-bound, so
+    # operand count is its cost; the compositor unpacks in-kernel.
+    # Quantization error is far below the 30 dB parity bar
+    # (tests/test_pallas_kernel.py packed-vs-unpacked)
+    pack_records: bool = False
 
     @property
     def tiles_x(self) -> int:

@@ -322,7 +322,7 @@ def emit_entries(meta, r0, E: int, gx: int, t_sentinel: int,
 
 def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
                     cfg: RasterConfig, n_px: int, tiles_per_program: int,
-                    with_seg: bool):
+                    with_seg: bool, packed: bool = False):
     tile = cfg.tile
     gx = cfg.tiles_x
 
@@ -381,15 +381,36 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
                 get_dma((c + 1) % 2, b0 + c + 1).start()
 
             get_dma(c % 2, b0 + c).wait()
-            G = buf[c % 2]                                 # (REC_W, CHUNK) f32
+            G = buf[c % 2]                                 # (n_rows, CHUNK)
 
             ids = (b0 + c) * CHUNK + lane                  # (1, CHUNK)
             maskv = (ids >= s) & (ids < e)
-            opac = G[5:6, :]
+            if packed:
+                # 5 packed int32 rows (binning pack_records layout);
+                # bitcasts are pattern-exact — bf16 halves expand to f32
+                # by masking/shifting (a bf16 IS a truncated f32)
+                vi = jax.lax.bitcast_convert_type(G, jnp.int32)
+                v0, v1 = vi[0:1, :], vi[1:2, :]
+                v2, v3 = vi[2:3, :], vi[3:4, :]
+                # tile-relative means were packed against the same
+                # centered origin the kernel uses: no ox/oy here
+                mlx = ((v0 & 0xFFFF).astype(jnp.float32) * (1.0 / 64.0)
+                       - 512.0)
+                mly = (((v0 >> 16) & 0xFFFF).astype(jnp.float32)
+                       * (1.0 / 64.0) - 512.0)
+                A = jax.lax.bitcast_convert_type((v1 >> 16) << 16,
+                                                 jnp.float32)
+                B = jax.lax.bitcast_convert_type(v1 << 16, jnp.float32)
+                C = jax.lax.bitcast_convert_type((v2 >> 16) << 16,
+                                                 jnp.float32)
+                opac = ((v2 & 0x3FFF).astype(jnp.float32)
+                        * (1.0 / 16383.0))
+            else:
+                opac = G[5:6, :]
+                mlx = G[0:1, :] - ox                       # tile-local means
+                mly = G[1:2, :] - oy
+                A, B, C = G[2:3, :], G[3:4, :], G[4:5, :]
             logop = jnp.log(jnp.maximum(opac, 1e-12))      # (1, CHUNK)
-            mlx = G[0:1, :] - ox                           # tile-local means
-            mly = G[1:2, :] - oy
-            A, B, C = G[2:3, :], G[3:4, :], G[4:5, :]
             # power' = power + log(opac) as a polynomial in (x, y); the
             # segment mask folds into the constant term (-1e30 kills the
             # pair in both compares below)
@@ -440,15 +461,23 @@ def _segment_kernel(starts_ref, recs_hbm, out_ref, buf, sems, *,
             # one exp, no divide
             w = a * jnp.exp(S - X) * live                  # (n_px, CHUNK)
             # decode integer-valued 10-bit color fields -> (3, CHUNK)
-            rg = G[6:7, :].astype(jnp.int32)
-            bsem = G[7:8, :]
-            semf = jnp.floor(bsem * (1.0 / 1024.0))        # (1, CHUNK)
             scale = COLOR_MAX / _Q
-            col = jnp.concatenate([
-                (rg & 0x3FF).astype(jnp.float32) * scale,
-                (rg >> 10).astype(jnp.float32) * scale,
-                (bsem - semf * 1024.0) * scale,
-            ], axis=0)                                     # (3, CHUNK)
+            if packed:
+                semf = vi[4:5, :].astype(jnp.float32)      # (1, CHUNK)
+                col = jnp.concatenate([
+                    (v3 & 0x3FF).astype(jnp.float32) * scale,
+                    ((v3 >> 10) & 0x3FF).astype(jnp.float32) * scale,
+                    ((v3 >> 20) & 0x3FF).astype(jnp.float32) * scale,
+                ], axis=0)                                 # (3, CHUNK)
+            else:
+                rg = G[6:7, :].astype(jnp.int32)
+                bsem = G[7:8, :]
+                semf = jnp.floor(bsem * (1.0 / 1024.0))    # (1, CHUNK)
+                col = jnp.concatenate([
+                    (rg & 0x3FF).astype(jnp.float32) * scale,
+                    (rg >> 10).astype(jnp.float32) * scale,
+                    (bsem - semf * 1024.0) * scale,
+                ], axis=0)                                 # (3, CHUNK)
             rgb_acc = rgb_acc + jax.lax.dot_general(
                 w, col, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -788,6 +817,8 @@ def composite_tiles_pallas(proj: Projected, bins: EntryBins,
         recs = _prep_entry_records(proj, bins, semantics)[None]
         starts = bins.starts[None]
     F = recs.shape[0]
+    n_rows = recs.shape[-2]           # REC_W unpacked / 5 packed int32
+    packed = n_rows == 5 and getattr(cfg, "pack_records", False)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -796,14 +827,14 @@ def composite_tiles_pallas(proj: Projected, bins: EntryBins,
         out_specs=pl.BlockSpec((1, tpb, 5, n_px), lambda f, t, s: (f, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, REC_W, CHUNK), jnp.float32),
+            pltpu.VMEM((2, n_rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_segment_kernel, cfg=cfg, n_px=n_px,
                           tiles_per_program=tpb,
-                          with_seg=semantics is not None),
+                          with_seg=semantics is not None, packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, T, 5, n_px), jnp.float32),
         interpret=interpret,

@@ -27,7 +27,8 @@ def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
           tile_chunk: int, synthetic_scale: float = 1.0,
           obs_mode: str = "rgb", max_tiles_per_gaussian: int = 16,
           active_budget_frac: float = 1.0, tile: int = 16,
-          max_entries: int = 1 << 19, batch_frames: bool = False):
+          max_entries: int = 1 << 19, batch_frames: bool = False,
+          pack_records: bool = True):
     import dataclasses
 
     from gsworld_tpu import envs
@@ -50,7 +51,8 @@ def build(env_id: str, num_envs: int, cfg_name: str, sim_freq: int,
                                    max_tiles_per_gaussian=max_tiles_per_gaussian,
                                    active_budget_frac=active_budget_frac,
                                    tile_chunk=tile_chunk, tile=tile,
-                                   max_entries=max_entries),
+                                   max_entries=max_entries,
+                                   pack_records=pack_records),
         synthetic_sizes=sizes, batch_frames=batch_frames)
     return env, wrapper
 

@@ -221,3 +221,32 @@ class TestPallasParity:
         dropped_count = total - int(capped.starts[-1])
         assert dropped_count > 0
         assert np.isfinite(depth[kept]).all()
+
+    def test_packed_records_match_unpacked(self):
+        """pack_records=True (5 int32 sort operands, in-kernel unpack)
+        must reproduce the unpacked fused render within quantization
+        error: 1/64-px tile-relative means, bf16 conic, 14-bit opacity,
+        exact 10-bit color and semantic ids."""
+        import dataclasses
+
+        from gsworld_tpu.render.binning import bin_entries_fused
+        from gsworld_tpu.render.rasterize_pallas import pack_record_columns
+        proj, cfg = _setup(n=400, seed=11)
+        sem = jnp.asarray(np.random.default_rng(3).integers(
+            0, 900, proj.depth.shape[0]), jnp.int32)
+        cfg_p = dataclasses.replace(cfg, pack_records=True)
+        rc = pack_record_columns(proj, sem)
+        b_u = bin_entries_fused(proj, cfg, rc, carry_gid=False)
+        b_p = bin_entries_fused(proj, cfg_p, rc, carry_gid=False)
+        np.testing.assert_array_equal(np.asarray(b_u.starts),
+                                      np.asarray(b_p.starts))
+        assert len(b_p.payload) == 5 and len(b_u.payload) == 8
+        i_u, t_u, s_u = composite_tiles_pallas(proj, b_u, cfg,
+                                               semantics=sem, interpret=True)
+        i_p, t_p, s_p = composite_tiles_pallas(proj, b_p, cfg_p,
+                                               semantics=sem, interpret=True)
+        assert _psnr(i_p, i_u) > 40.0, f"packed PSNR {_psnr(i_p, i_u):.1f}"
+        np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_u),
+                                   atol=2e-2)
+        mism = float(np.mean(np.asarray(s_p) != np.asarray(s_u)))
+        assert mism < 0.02, f"seg mismatch {mism:.3f}"
